@@ -1,0 +1,97 @@
+"""High-level upscaler pipelines (the framework's "model" layer).
+
+An :class:`Upscaler` owns, for one static :class:`ResampleConfig`:
+host-precomputed weight/index tables, a jitted forward function, and a
+backend choice.  It is the TPU-native counterpart of the reference's
+synthesized ``lanczos()`` top function (``lanczos.cpp:86-98``) — where the
+reference bakes one (dims, scale, a, precision) combination per bitstream
+via ``params.h``, here each config is one jit cache entry.
+
+Backends:
+- ``"xla"``: gather-based separable passes (ops/resample_xla.py) — the
+  portable path, also used for HLS-faithful fixed point.
+- ``"pallas"``: fused VMEM-tiled kernels (ops/resample_pallas.py).
+- ``"ref"``: NumPy oracle on host (testing only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanczos_tpu.core.config import Precision, Profile, ResampleConfig
+from lanczos_tpu.ops.fixed_point import HLSOps, hls_upscale_xla
+from lanczos_tpu.ops.resample_xla import SeparableOps, resample_2d_xla
+
+
+class Upscaler:
+    def __init__(
+        self,
+        cfg: ResampleConfig,
+        backend: str = "auto",
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        if backend == "auto":
+            backend = "xla"  # TODO: flip to "pallas" once tuned on-chip
+        self.backend = backend
+        self.dtype = jnp.bfloat16 if cfg.precision == Precision.BF16 else dtype
+
+        if cfg.precision == Precision.FIXED:
+            self._ops = HLSOps.build(cfg)
+            self._fn = jax.jit(partial(hls_upscale_xla, ops=self._ops))
+        elif backend == "xla":
+            self._ops = SeparableOps(cfg, self.dtype)
+            self._fn = jax.jit(partial(resample_2d_xla, ops=self._ops))
+        elif backend == "pallas":
+            from lanczos_tpu.ops.resample_pallas import PallasOps, resample_2d_pallas
+
+            self._ops = PallasOps(cfg, self.dtype)
+            self._fn = jax.jit(partial(resample_2d_pallas, ops=self._ops))
+        elif backend == "ref":
+            self._ops = None
+            self._fn = self._ref_forward
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    def _ref_forward(self, img):
+        from lanczos_tpu.ref.oracle import c_oracle_upscale, clean_resample_2d
+
+        img = np.asarray(img)
+        if self.cfg.c_faithful:
+            oh, ow = self.cfg.out_shape
+            return c_oracle_upscale(img, oh, ow, self.cfg.a)
+        return clean_resample_2d(img, self.cfg)
+
+    def __call__(self, img) -> jnp.ndarray:
+        """img: (H, W, C) or (..., H, W, C); dims must match the config."""
+        if img.shape[-3:-1] != tuple(self.cfg.in_shape):
+            raise ValueError(
+                f"image spatial dims {img.shape[-3:-1]} != config {self.cfg.in_shape}"
+            )
+        return self._fn(img)
+
+    @property
+    def jitted(self):
+        return self._fn
+
+
+def upscale(
+    img,
+    scale: Optional[Tuple[int, int]] = None,
+    out_shape: Optional[Tuple[int, int]] = None,
+    profile: Profile | str = Profile.PRECISE,
+    a: int = 3,
+    backend: str = "auto",
+    **overrides,
+) -> jnp.ndarray:
+    """One-shot functional API: upscale (…, H, W, C) by N/D or to out_shape."""
+    h, w = img.shape[-3], img.shape[-2]
+    cfg = ResampleConfig.from_profile(
+        profile, (h, w), out_shape=out_shape, scale=scale, a=a, **overrides
+    )
+    return Upscaler(cfg, backend=backend)(img)
