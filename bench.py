@@ -1,0 +1,93 @@
+"""Headline benchmark: 4K→8K Lanczos-3 upscale throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+``vs_baseline`` is the fraction of the HBM-roofline throughput achieved
+(BASELINE.md target: ≥ 0.90).  The roofline model charges the minimum HBM
+traffic a fused uint8→uint8 resample can do — read the input frame once,
+write the output frame once — at the chip's peak HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak HBM bandwidth (bytes/s) by device kind substring.
+HBM_BW = {
+    "v5 lite": 819e9,  # v5e
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v5": 819e9,
+    "v4": 1228e9,
+    "v6": 1640e9,  # Trillium
+    "v3": 900e9,
+    "v2": 700e9,
+    "cpu": 50e9,  # arbitrary; CPU runs are smoke tests only
+}
+
+
+def peak_bw(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+def main():
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    in_shape, out_shape, a = (2160, 3840), (4320, 7680), 3
+    if jax.default_backend() == "cpu":  # smoke-test shapes off-chip
+        in_shape, out_shape = (540, 960), (1080, 1920)
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, in_shape, out_shape=out_shape, a=a
+    )
+    model = Upscaler(cfg, backend="auto")
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        rng.integers(0, 256, size=(*in_shape, 3), dtype=np.uint8)
+    )
+
+    out = model(img)
+    out.block_until_ready()  # compile + warm up
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = model(img)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+
+    out_mpix = out_shape[0] * out_shape[1] / 1e6
+    mpix_s = out_mpix / dt
+
+    dev = jax.devices()[0]
+    bw = peak_bw(dev)
+    min_bytes = (in_shape[0] * in_shape[1] + out_shape[0] * out_shape[1]) * 3
+    roofline_mpix_s = out_mpix / (min_bytes / bw)
+    result = {
+        "metric": f"{in_shape[1]}x{in_shape[0]}->{out_shape[1]}x{out_shape[0]}_lanczos{a}_upscale",
+        "value": round(mpix_s, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / roofline_mpix_s, 4),
+    }
+    print(json.dumps(result))
+    print(
+        f"# backend={model.backend} device={dev.device_kind} dt={dt*1e3:.2f}ms "
+        f"roofline={roofline_mpix_s:.0f}Mpix/s bw={bw/1e9:.0f}GB/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Command-line interface.
+
+Mirrors the reference testbench workflow (``full_TB.h:99-180``): load a PNG,
+run the device path ("observed"), optionally run the software oracle
+("expected"), print RMS/PSNR, and write outputs with the config-encoded
+filename pattern ``WxH->WxH_N|D_a-`` (``full_TB.h:170``).
+
+Usage:
+    python -m lanczos_tpu input.png [output.png]
+        [--scale N/D | --out-size WxH] [--a 3] [--profile precise]
+        [--backend auto|xla|pallas|ref] [--filter lanczos]
+        [--expected] [--no-psnr] [--bench N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_scale(s: str):
+    if "/" in s:
+        n, d = s.split("/", 1)
+        return int(n), int(d)
+    if "." in s:
+        raise ValueError("scale must be a rational N/D (e.g. 2/1), not a float")
+    return int(s), 1
+
+
+def _parse_size(s: str):
+    w, h = s.lower().split("x", 1)
+    return int(h), int(w)  # stored (H, W)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="lanczos_tpu",
+        description="TPU-native Lanczos image resampler",
+    )
+    p.add_argument("input", help="input PNG path")
+    p.add_argument("output", nargs="?", help="output PNG path (default: derived)")
+    p.add_argument("--scale", type=_parse_scale, default=None,
+                   help="rational scale N/D (e.g. 2/1, 3/2)")
+    p.add_argument("--out-size", type=_parse_size, default=None, metavar="WxH")
+    p.add_argument("--a", type=int, default=3, help="Lanczos support radius")
+    p.add_argument("--profile", default="precise",
+                   choices=["precise", "c_oracle", "hls"])
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "ref"])
+    p.add_argument("--filter", default="lanczos")
+    p.add_argument("--expected", action="store_true",
+                   help="also write the software-oracle output PNG")
+    p.add_argument("--no-psnr", action="store_true",
+                   help="skip the oracle comparison print")
+    p.add_argument("--bench", type=int, default=0, metavar="N",
+                   help="time N device iterations and print Mpix/s")
+    args = p.parse_args(argv)
+
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.io import read_png, write_png
+    from lanczos_tpu.models.upscaler import Upscaler
+    from lanczos_tpu.utils.metrics import psnr, rms_error
+
+    img = read_png(args.input)
+    if img.shape[-1] == 4:
+        img = img[..., :3]  # drop alpha for parity with the RGB reference
+    elif img.shape[-1] == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    elif img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    h, w = img.shape[:2]
+
+    if args.out_size is None and args.scale is None:
+        args.scale = (2, 1)
+    cfg = ResampleConfig.from_profile(
+        Profile(args.profile), (h, w),
+        out_shape=args.out_size, scale=args.scale,
+        a=args.a, filter=args.filter,
+    )
+    oh, ow = cfg.out_shape
+
+    model = Upscaler(cfg, backend=args.backend)
+    t0 = time.perf_counter()
+    out = np.asarray(model(img))
+    dt = time.perf_counter() - t0
+
+    n, d = cfg.scale_h
+    tag = f"{w}x{h}-{ow}x{oh}_{n}|{d}_{args.a}-"  # full_TB.h:170 pattern
+    out_path = args.output or os.path.join(
+        os.path.dirname(args.input) or ".", tag + "observed.png"
+    )
+    write_png(out_path, out)
+    print(f"wrote {out_path}  ({w}x{h} -> {ow}x{oh}, {args.profile}, "
+          f"backend={model.backend}, first-call {dt*1e3:.1f} ms)")
+
+    if not args.no_psnr or args.expected:
+        expected = np.asarray(Upscaler(cfg, backend="ref")(img))
+        if expected.dtype != np.uint8:
+            expected = np.trunc(np.clip(expected, 0, 255)).astype(np.uint8)
+        if args.expected:
+            ex_path = os.path.join(
+                os.path.dirname(out_path) or ".", tag + "expected.png"
+            )
+            write_png(ex_path, expected)
+            print(f"wrote {ex_path}")
+        if not args.no_psnr:
+            print(f"RMS error vs oracle: {rms_error(out, expected):.4f}  "
+                  f"PSNR: {psnr(out, expected):.2f} dB")
+
+    if args.bench > 0:
+        import jax
+
+        x = jax.device_put(img)
+        model(x).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.bench):
+            y = model(x)
+        y.block_until_ready()
+        per = (time.perf_counter() - t0) / args.bench
+        print(f"bench: {per*1e3:.2f} ms/frame  {oh*ow/1e6/per:.1f} Mpix/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""ctypes loader (with lazy on-demand g++ build) for the native PNG filter
+library.  Falls back to None — callers use the NumPy path — if no compiler
+or prebuilt .so is available."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pngfilter.cpp")
+_SO = os.path.join(_HERE, "libpngfilter.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _Lib:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def __init__(self, cdll: ctypes.CDLL):
+        self._cdll = cdll
+        cdll.png_unfilter.restype = ctypes.c_int
+        cdll.png_unfilter.argtypes = [
+            self.u8p, self.u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int
+        ]
+        cdll.png_filter.restype = None
+        cdll.png_filter.argtypes = [
+            self.u8p, self.u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        self.png_unfilter = cdll.png_unfilter
+        self.png_filter = cdll.png_filter
+
+
+def _build() -> Optional[str]:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _SO
+    except Exception:
+        return None
+
+
+def native_lib() -> Optional[_Lib]:
+    """The loaded native library, building it on first use; None if
+    unavailable (callers fall back to NumPy)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = _SO if os.path.exists(_SO) else _build()
+        if path is None:
+            return None
+        try:
+            _lib = _Lib(ctypes.CDLL(path))
+        except OSError:
+            _lib = None
+        return _lib

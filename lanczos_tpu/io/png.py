@@ -1,0 +1,248 @@
+"""PNG codec (from scratch: zlib + NumPy, native C++ fast path).
+
+The reference's one genuinely host-native component is its vendored stb
+image codec (``stb.cpp``, ``stb_image/``, SURVEY.md §2 "Image I/O").  This
+module is the framework's equivalent, written from the PNG spec (RFC 2083):
+chunk parsing, scanline unfiltering (filters 0–4), and encoding with
+per-scanline filter selection.  Inflate/deflate use Python's zlib (C-backed);
+the byte-sequential unfilter/filter inner loops — the only part NumPy cannot
+vectorize across a scanline — are implemented in C++
+(``lanczos_tpu/io/_native/pngfilter.cpp``) loaded via ctypes, with a NumPy
+fallback that vectorizes what it can (None/Sub/Up fully, Average/Paeth per
+pixel along the row).
+
+Supported: 8-bit greyscale, grey+alpha, RGB, RGBA, and paletted PNGs,
+non-interlaced (interlace raises).  16-bit channels are read and narrowed
+to 8 with an explicit ``>> 8``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+from lanczos_tpu.io._native import native_lib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PNGError(ValueError):
+    pass
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length  # length + type + crc
+        if ctype == b"IEND":
+            return
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # a=left, b=up, c=up-left; int16 arithmetic to avoid uint8 wrap
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def _unfilter_numpy(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """raw: (h, 1+stride) filtered scanlines → (h, stride) reconstructed."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: cumulative sum per byte lane with stride bpp
+            rec = line.reshape(-1, bpp)
+            np.cumsum(rec, axis=0, dtype=np.uint8, out=rec)  # uint8 wraps
+            rec = rec.reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise PNGError(f"bad filter type {ft} on scanline {y}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    lib = native_lib()
+    if lib is not None:
+        buf = np.ascontiguousarray(raw)
+        out = np.empty((h, stride), dtype=np.uint8)
+        rc = lib.png_unfilter(
+            buf.ctypes.data_as(lib.u8p),
+            out.ctypes.data_as(lib.u8p),
+            h,
+            stride,
+            bpp,
+        )
+        if rc != 0:
+            raise PNGError(f"bad filter type (native rc={rc})")
+        return out
+    return _unfilter_numpy(raw, h, stride, bpp)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8 (C ∈ {1, 2, 3, 4})."""
+    if data[:8] != _SIG:
+        raise PNGError("not a PNG (bad signature)")
+    ihdr = None
+    palette = None
+    trns = None
+    idat = []
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise PNGError("missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise PNGError("unsupported compression/filter method")
+    if interlace != 0:
+        raise PNGError("interlaced PNG not supported")
+    if color not in _COLOR_CHANNELS:
+        raise PNGError(f"bad color type {color}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
+        raise PNGError(f"unsupported bit depth {depth} for color type {color}")
+    nchan = _COLOR_CHANNELS[color]
+    if depth < 8:
+        stride = (w * depth + 7) // 8
+        bpp = 1
+    else:
+        bpp = nchan * (depth // 8)
+        stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise PNGError(f"decompressed size {raw.size} != {h * (stride + 1)}")
+    rec = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+    if depth == 16:
+        img = rec.reshape(h, w, nchan, 2)[..., 0]  # big-endian high byte
+    elif depth < 8:
+        bits = np.unpackbits(rec, axis=1)  # (h, stride*8), MSB first
+        samples = bits.reshape(h, -1, depth)[:, :w, :]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (samples * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # scale to full 8-bit range per the spec
+            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        img = vals[:, :, None]
+    else:
+        img = rec.reshape(h, w, nchan)
+    if color == 3:
+        if palette is None:
+            raise PNGError("paletted PNG without PLTE")
+        pal_idx = img[..., 0]
+        img = palette[pal_idx]
+        if trns is not None:
+            a = np.full(palette.shape[0], 255, np.uint8)
+            a[: trns.size] = trns
+            img = np.concatenate([img, a[pal_idx][..., None]], axis=-1)
+    return np.ascontiguousarray(img)
+
+
+def _filter_scanlines_numpy(img2d: np.ndarray, bpp: int) -> bytes:
+    """Per-scanline adaptive filtering (minimum-sum-of-absolutes heuristic),
+    restricted to filters {0 None, 1 Sub, 2 Up} which NumPy computes
+    vectorized; the native path also tries Average/Paeth."""
+    h, stride = img2d.shape
+    prev = np.zeros(stride, np.uint8)
+    out = bytearray()
+    for y in range(h):
+        line = img2d[y]
+        sub = line.copy()
+        sub[bpp:] = line[bpp:] - line[:-bpp]
+        up = line - prev
+        cands = ((0, line), (1, sub), (2, up))
+        scores = [
+            np.abs(c.astype(np.int8).astype(np.int16)).sum() for _, c in cands
+        ]
+        ft, best = cands[int(np.argmin(scores))]
+        out.append(ft)
+        out += best.tobytes()
+        prev = line
+    return bytes(out)
+
+
+def _filter_scanlines(img2d: np.ndarray, bpp: int, level: int) -> bytes:
+    lib = native_lib()
+    h, stride = img2d.shape
+    if lib is not None:
+        src = np.ascontiguousarray(img2d)
+        out = np.empty(h * (stride + 1), dtype=np.uint8)
+        lib.png_filter(
+            src.ctypes.data_as(lib.u8p),
+            out.ctypes.data_as(lib.u8p),
+            h,
+            stride,
+            bpp,
+            1 if level > 1 else 0,
+        )
+        return out.tobytes()
+    return _filter_scanlines_numpy(img2d, bpp)
+
+
+def encode(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """(H, W) or (H, W, C) uint8 → PNG bytes (C ∈ {1, 2, 3, 4})."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise PNGError(f"encode expects uint8, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise PNGError(f"bad image shape {img.shape}")
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    img2d = np.ascontiguousarray(img).reshape(h, w * c)
+    filtered = _filter_scanlines(img2d, c, compress_level)
+    comp = zlib.compress(filtered, compress_level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+
+def read_png(path) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode(f.read())
+
+
+def write_png(path, img: np.ndarray, compress_level: int = 6) -> None:
+    with open(path, "wb") as f:
+        f.write(encode(img, compress_level))

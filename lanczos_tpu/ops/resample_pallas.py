@@ -1,0 +1,397 @@
+"""Fused separable resampling as a single Pallas TPU kernel.
+
+The reference's 3-stage DATAFLOW pipeline (vertical fill ‖ horizontal fill ‖
+stream-out over ping-pong tiles, ``lanczos.cpp:68-83``) maps to one fused
+kernel: for each output tile, DMA the (haloed) uint8 input slab HBM→VMEM,
+apply the vertical then horizontal banded operators entirely in VMEM, and
+write the uint8 output tile — the float intermediate never touches HBM.
+
+Key structural facts exploited (SURVEY.md §7):
+
+- With reduced scale N/D and tile height TH ≡ 0 (mod N), the banded weight
+  pattern repeats identically for every tile (the phase-LUT insight of
+  ``kernel.cpp:50-59``), so ONE static dense (TH × KV) weight matrix serves
+  all row tiles, and one (KH × TW) serves all column tiles.
+- A banded matrix materialized at tile granularity is small enough that the
+  two per-tile applications are plain MXU matmuls — no gathers, no strided
+  accesses, no data-dependent control flow.
+- Edge handling (clamp/zero/reflect) becomes input padding by the support
+  radius, so the kernel body is branch-free and identical for every tile.
+
+Layout: the kernel is planar — (C, H, W) or (B, C, H, W) — so the image
+width rides the 128-lane dimension.  Interleaved (..., H, W, C) wrappers
+transpose at the boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lanczos_tpu.core.config import EdgeMode, Order, Precision, ResampleConfig
+from lanczos_tpu.core.config import reduced_scale
+from lanczos_tpu.core.filters import get_filter
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _phase_table(
+    n: int, d: int, a: int, support: int, filter_name: str, normalize: bool
+) -> np.ndarray:
+    """(N, 2·support) float64 per-phase tap weights (kernel.cpp:50-59's
+    phase-LUT, generalized)."""
+    filt = get_filter(filter_name)
+    tbl = np.zeros((n, 2 * support), dtype=np.float64)
+    for p in range(n):
+        fl = (p * d) // n
+        for j in range(2 * support):
+            i_orig = fl - support + 1 + j
+            t = (p * d - i_orig * n) / n
+            if support > a:
+                tbl[p, j] = float(filt(np.array([t * n / d]), a)[0])
+            else:
+                tbl[p, j] = float(filt(np.array([t]), a)[0])
+        if normalize:
+            s = tbl[p].sum()
+            if abs(s) > 1e-12:
+                tbl[p] /= s
+    return tbl
+
+
+def _phase_band_matrix(
+    out_tile: int,
+    n: int,
+    d: int,
+    a: int,
+    support: int,
+    filter_name: str,
+    normalize: bool,
+    k_pad: int,
+    transpose: bool,
+) -> np.ndarray:
+    """Dense (out_tile, k_pad) banded weight matrix for one axis tile.
+
+    Row ``y`` (tile-local) has taps at slab columns ``⌊y·D/N⌋ + 1 + j`` for
+    ``j ∈ [0, 2·support)`` — slab coordinates are input coordinates padded
+    by ``support`` and rebased to the tile's slab origin ``i·(out_tile·D/N)``.
+    Requires ``out_tile % n == 0`` so the pattern is tile-invariant.
+    """
+    assert out_tile % n == 0
+    tbl = _phase_table(n, d, a, support, filter_name, normalize)
+    W = np.zeros((out_tile, k_pad), dtype=np.float64)
+    for y in range(out_tile):
+        fl = (y * d) // n
+        W[y, fl + 1 : fl + 1 + 2 * support] = tbl[y % n]
+    return W.T.copy() if transpose else W
+
+
+@dataclasses.dataclass
+class _AxisPlan:
+    n: int
+    d: int
+    support: int
+    tile_out: int  # output elements per tile (multiple of n)
+    stride_in: int  # slab stride  = tile_out * d / n
+    k_pad: int  # slab extent (>= stride_in + 2*support + 1), aligned
+    num_tiles: int
+    in_pad_total: int  # padded input size required
+
+
+def _plan_axis(
+    in_size: int, out_size: int, a: int, tile_target: int, align: int
+) -> _AxisPlan:
+    n, d = reduced_scale(in_size, out_size)
+    support = a if n >= d else -(-(a * d) // n)
+    tile_out = max(n, _round_up(min(tile_target, _round_up(out_size, n)), n))
+    stride = tile_out * d // n
+    k = stride + 2 * support + 1
+    k_pad = _round_up(k, align)
+    num = -(-out_size // tile_out)
+    in_pad = (num - 1) * stride + k_pad
+    return _AxisPlan(n, d, support, tile_out, stride, k_pad, num, in_pad)
+
+
+_PAD_MODE = {
+    EdgeMode.CLAMP: "edge",
+    EdgeMode.DROP: "constant",
+    EdgeMode.REFLECT: "reflect",
+}
+
+
+class PallasOps:
+    """Precomputed plan + weight matrices for one fused 2D resample config."""
+
+    def __init__(
+        self,
+        cfg: ResampleConfig,
+        dtype=jnp.float32,
+        tile_h: int = 256,
+        tile_w: int = 1024,
+        interpret: bool = False,
+    ):
+        if cfg.precision == Precision.FIXED:
+            raise NotImplementedError("use ops.fixed_point for the HLS path")
+        if cfg.dering:
+            raise NotImplementedError(
+                "dering is not supported in the fused Pallas path yet; "
+                "use the XLA backend"
+            )
+        if cfg.c_faithful:
+            raise NotImplementedError("c_faithful is XLA/ref-backend only")
+        if not cfg.normalize and cfg.edge_mode == EdgeMode.CLAMP:
+            # phase-uniform weights + replicate padding implies the clamp
+            # edge is exact only alongside per-phase weights; fine for both
+            # normalized and unnormalized — nothing to do.
+            pass
+        self.cfg = cfg
+        self.interpret = interpret
+        (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
+        # Numerics: uint8 pixels are EXACT in bf16 (integers ≤ 255 fit in
+        # its 8 significand bits) and bf16×bf16 products accumulate in f32
+        # on the MXU.  The only precision loss is the weights' bf16
+        # rounding, so the precise mode splits each weight matrix into
+        # hi + lo bf16 parts (w ≈ hi + lo, residual ~2⁻¹⁶ relative) and
+        # runs 2 vertical + 3 horizontal bf16 matmuls — f32-quality output
+        # at bf16 MXU rates.  BF16 mode keeps single matmuls (fastest).
+        self.split = cfg.precision != Precision.BF16
+        self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=8)
+        self.ph = _plan_axis(iw, ow, cfg.a, tile_w, align=128)
+        # Shift-FMA variant: for integer upscales (D == 1) every output
+        # phase is a sum of 2a UNIT-STRIDE shifted slices of the slab
+        # scaled by compile-time-constant weights — ~2a FMAs per output on
+        # the VPU in exact f32, vs the dense banded matmul whose K dim is
+        # ~stride+2a (≈100× the band's useful FLOPs).  The matmul path
+        # remains for rational scales (D > 1) and huge N.
+        self.v_shift = self.pv.d == 1 and self.pv.n <= 16
+        self.h_shift = self.ph.d == 1 and self.ph.n <= 16
+        self.tbl_v = _phase_table(
+            self.pv.n, self.pv.d, cfg.a, self.pv.support, cfg.filter,
+            cfg.normalize,
+        ).astype(np.float32)
+        self.tbl_h = _phase_table(
+            self.ph.n, self.ph.d, cfg.a, self.ph.support, cfg.filter,
+            cfg.normalize,
+        ).astype(np.float32)
+        if self.v_shift:  # weights are baked into the kernel as constants
+            wv = np.zeros((8, 128), dtype=np.float64)
+        else:
+            wv = _phase_band_matrix(
+                self.pv.tile_out, self.pv.n, self.pv.d, cfg.a, self.pv.support,
+                cfg.filter, cfg.normalize, self.pv.k_pad, transpose=False,
+            )
+        if self.h_shift:
+            wh = np.zeros((8, 128), dtype=np.float64)
+        else:
+            wh = _phase_band_matrix(
+                self.ph.tile_out, self.ph.n, self.ph.d, cfg.a, self.ph.support,
+                cfg.filter, cfg.normalize, self.ph.k_pad, transpose=True,
+            )
+        self.wv_hi = jnp.asarray(wv, jnp.bfloat16)
+        self.wh_hi = jnp.asarray(wh, jnp.bfloat16)
+        self.wv_lo = jnp.asarray(
+            wv - np.asarray(self.wv_hi, np.float64), jnp.bfloat16
+        )
+        self.wh_lo = jnp.asarray(
+            wh - np.asarray(self.wh_hi, np.float64), jnp.bfloat16
+        )
+        self.pad_mode = _PAD_MODE[cfg.edge_mode]
+
+    # -- padding -----------------------------------------------------------
+    def pad_input(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(..., H, W) → (..., Hp, Wp): support-sized edge-correct pad plus
+        alignment/overrun padding (never read by valid outputs)."""
+        pv, ph = self.pv, self.ph
+        lead = [(0, 0)] * (x.ndim - 2)
+        edge = lead + [(pv.support, pv.support), (ph.support, ph.support)]
+        if self.pad_mode == "constant":
+            x = jnp.pad(x, edge, mode="constant")
+        else:
+            x = jnp.pad(x, edge, mode=self.pad_mode)
+        extra_h = pv.in_pad_total - x.shape[-2]
+        extra_w = ph.in_pad_total - x.shape[-1]
+        if extra_h > 0 or extra_w > 0:
+            x = jnp.pad(
+                x, lead + [(0, max(extra_h, 0)), (0, max(extra_w, 0))],
+                mode="constant",
+            )
+        return x
+
+
+def _shift_pass(x, plan, tbl):
+    """Shift-FMA 1-D resample along axis 0 (sublanes), D == 1.
+
+    Each phase plane is Σ_t w[p,t]·x[1+t : 1+t+m] (unit-stride shifted
+    slices × compile-time scalar weights); planes interleave with a
+    sublane stack+reshape (out row k·N+p = plane_p[k]), which Mosaic
+    supports on non-lane dims.  Lane-dim interleaves are NOT lowerable, so
+    the horizontal pass transposes, runs this, and transposes back.
+    """
+    m = plan.stride_in
+    taps = 2 * plan.support
+    accs = []
+    for p in range(plan.n):
+        acc = None
+        for t in range(taps):
+            term = float(tbl[p, t]) * x[1 + t : 1 + t + m, :]
+            acc = term if acc is None else acc + term
+        accs.append(acc)
+    if plan.n == 1:
+        return accs[0]
+    return jnp.stack(accs, axis=1).reshape(m * plan.n, x.shape[1])
+
+
+def _fused_kernel(
+    img_ref, wv_hi, wv_lo, wh_hi, wh_lo, out_ref, slab, mid, sems,
+    *, ops: PallasOps
+):
+    """Per-tile body with 2-slot double buffering: the DMA for grid step
+    t+1 is launched before waiting on step t's slab, so the HBM fetch of
+    the next input tile hides under this tile's matmuls (the TPU analog of
+    the reference's 3-stage DATAFLOW / ping-pong buffers, lanczos.cpp:72-82;
+    output write-back is double-buffered by Pallas itself)."""
+    pv, ph = ops.pv, ops.ph
+    n_i, n_j = pv.num_tiles, ph.num_tiles
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    lin = (c * n_i + i) * n_j + j
+    total = pl.num_programs(0) * n_i * n_j
+
+    def dma_for(lin_idx, slot):
+        cc = lin_idx // (n_i * n_j)
+        rem = lin_idx % (n_i * n_j)
+        ii = rem // n_j
+        jj = rem % n_j
+        return pltpu.make_async_copy(
+            img_ref.at[
+                cc,
+                pl.ds(ii * pv.stride_in, pv.k_pad),
+                pl.ds(jj * ph.stride_in, ph.k_pad),
+            ],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    slot = lin % 2
+
+    @pl.when(lin == 0)
+    def _():
+        dma_for(lin, slot).start()
+
+    @pl.when(lin + 1 < total)
+    def _():
+        dma_for(lin + 1, (lin + 1) % 2).start()
+
+    dma_for(lin, slot).wait()
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # Mosaic has no direct u8->float casts; hop through int32.
+    xi = slab[slot].astype(jnp.int32)
+
+    # ---- vertical pass ----
+    if ops.v_shift:
+        tmp = _shift_pass(xi.astype(jnp.float32), pv, ops.tbl_v)
+    else:
+        x = xi.astype(jnp.bfloat16)  # exact for 0..255
+        if ops.split:
+            tmp = dot(wv_hi[...], x) + dot(wv_lo[...], x)
+        else:
+            tmp = dot(wv_hi[...], x)
+
+    # ---- horizontal pass ----
+    if ops.h_shift:
+        # Round-trip through VMEM scratch: transposing the freshly
+        # stacked/reshaped value directly sends Mosaic's layout inference
+        # into a pathological search (observed as a compile hang); a ref
+        # store/load forces a canonical layout first.
+        mid[...] = tmp.astype(jnp.float32)
+        y = _shift_pass(mid[...].T, ph, ops.tbl_h).T
+    elif ops.split:
+        t_hi = tmp.astype(jnp.bfloat16)
+        t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y = dot(t_hi, wh_hi[...]) + dot(t_lo, wh_hi[...]) + dot(t_hi, wh_lo[...])
+    else:
+        y = dot(tmp.astype(jnp.bfloat16), wh_hi[...])
+    q = jnp.trunc(jnp.clip(y, 0.0, 255.0)).astype(jnp.int32)
+    out_ref[0] = q.astype(jnp.uint8)
+
+
+def _fused_call(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
+    """(NC, Hp, Wp) uint8 padded planar → (NC, OH, OW) uint8."""
+    pv, ph = ops.pv, ops.ph
+    nc = img_planar.shape[0]
+    oh, ow = ops.cfg.out_shape
+    grid = (nc, pv.num_tiles, ph.num_tiles)
+    kernel = functools.partial(_fused_kernel, ops=ops)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                ops.wv_hi.shape, lambda c, i, j: (0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 2
+        + [
+            pl.BlockSpec(
+                ops.wh_hi.shape, lambda c, i, j: (0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 2,
+        out_specs=pl.BlockSpec(
+            (1, pv.tile_out, ph.tile_out),
+            lambda c, i, j: (c, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, oh, ow), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, pv.k_pad, ph.k_pad), jnp.uint8),
+            pltpu.VMEM((pv.tile_out, ph.k_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=ops.interpret,
+    )(img_planar, ops.wv_hi, ops.wv_lo, ops.wh_hi, ops.wh_lo)
+
+
+def upscale_planar(img: jnp.ndarray, ops: PallasOps) -> jnp.ndarray:
+    """Planar fast path: (C, H, W) or (B, C, H, W) uint8 → same rank uint8."""
+    cfg = ops.cfg
+    batched = img.ndim == 4
+    x = img if batched else img[None]
+    b, c = x.shape[0], x.shape[1]
+    x = x.reshape(b * c, *x.shape[2:])
+    x = ops.pad_input(x)
+    y = _fused_call(ops, x)
+    y = y.reshape(b, c, *cfg.out_shape)
+    return y if batched else y[0]
+
+
+def resample_2d_pallas(img: jnp.ndarray, ops: PallasOps) -> jnp.ndarray:
+    """Interleaved API: (..., H, W, C) uint8 → (..., OH, OW, C) uint8.
+
+    Transposes to planar at the boundary; prefer :func:`upscale_planar` in
+    throughput-critical pipelines to skip the output transpose.
+    """
+    if img.dtype != jnp.uint8:
+        img = jnp.trunc(jnp.clip(img.astype(jnp.float32), 0.0, 255.0)).astype(
+            jnp.uint8
+        )
+    lead = img.shape[:-3]
+    x = img.reshape((-1,) + img.shape[-3:])  # (B, H, W, C)
+    x = jnp.transpose(x, (0, 3, 1, 2))  # planar
+    y = upscale_planar(x, ops)
+    y = jnp.transpose(y, (0, 2, 3, 1))
+    return y.reshape(lead + y.shape[1:])

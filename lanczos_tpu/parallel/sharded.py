@@ -1,0 +1,159 @@
+"""Multi-chip row-partitioned resampling (mesh + shard_map + halo exchange).
+
+The reference bounds its memory by streaming rows through a 2a-row cyclic
+line buffer (``worker.h:140-142``, ``cyclic_buffer.h:63``).  Promoted to the
+inter-chip level (SURVEY.md §2 "parallelism strategies"), the same idea is:
+shard image **rows** across devices; each shard needs an ``a``-input-row
+halo from each neighbor to compute its slice of the vertical pass, exchanged
+with ``jax.lax.ppermute`` over ICI.  The horizontal pass is row-local and
+needs no communication.  A second mesh axis shards the **batch** (frames)
+data-parallel.
+
+Key invariant making the halo exactly ``a`` rows: with reduced scale N/D and
+``IN_H`` divisible by the rows-axis size R, shard r produces output rows
+``[r·OUT_H/R, (r+1)·OUT_H/R)`` whose tap windows touch input rows
+``[r·IN_H/R − a + 1, (r+1)·IN_H/R − 1 + a]`` — the local slice ± a.
+
+Per-shard weight tables ride the same sharding: the (OUT_H, 2a) gather-index
+table is itself row-sharded, and each shard rebases indices by its offset
+(the multi-chip analog of the reference's ``seek_write_index`` /
+``curr_offset`` phase bookkeeping, ``worker.cpp:199-202``).  Edge-clamped
+global indices never reach the (wrap-around, invalid) halo of the first/last
+shard, so a plain ring ppermute is sufficient — no special-casing at the
+mesh boundary.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lanczos_tpu.core.config import Precision, ResampleConfig
+from lanczos_tpu.ops.resample_xla import SeparableOps, apply_banded, quantize_uint8
+
+
+def choose_mesh_shape(n_devices: int) -> Tuple[int, int]:
+    """Factor n into (data, rows): keep a real rows axis whenever possible."""
+    for rows in (4, 2):
+        if n_devices % rows == 0 and n_devices > rows:
+            return n_devices // rows, rows
+    if n_devices % 2 == 0:
+        return n_devices // 2, 2
+    return n_devices, 1
+
+
+def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, axis: int = 1):
+    """Concatenate each shard's row block with `halo` rows from ring neighbors.
+
+    x: (..., h_local, ...) with the sharded rows at ``axis``.
+    Returns (..., h_local + 2*halo, ...).  The wrap-around rows received by
+    the first/last shard are garbage by construction and are provably never
+    read (gather indices are globally edge-resolved before rebasing).
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1 or halo == 0:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (halo, halo)
+        return jnp.pad(x, pad)
+    fwd = [(i, (i + 1) % n) for i in range(n)]  # send down: my tail → next's top
+    bwd = [(i, (i - 1) % n) for i in range(n)]  # send up: my head → prev's bottom
+
+    def take(lo, hi):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(lo, hi)
+        return x[tuple(sl)]
+
+    top = jax.lax.ppermute(take(-halo, None), axis_name, fwd)
+    bot = jax.lax.ppermute(take(0, halo), axis_name, bwd)
+    return jnp.concatenate([top, x, bot], axis=axis)
+
+
+class ShardedUpscaler:
+    """Row+batch sharded 2D resample over a Mesh.
+
+    Input  (B, H, W, C) sharded (data, rows, -, -);
+    output (B, OH, OW, C) sharded the same way.
+    """
+
+    def __init__(
+        self,
+        cfg: ResampleConfig,
+        mesh: Mesh,
+        data_axis: str = "data",
+        rows_axis: str = "rows",
+        dtype=jnp.float32,
+    ):
+        if cfg.precision == Precision.FIXED:
+            raise NotImplementedError(
+                "sharded HLS-faithful fixed point not implemented yet"
+            )
+        if cfg.c_faithful:
+            raise NotImplementedError("sharded c_faithful mode not supported")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.rows_axis = rows_axis
+        R = mesh.shape[rows_axis]
+        in_h, out_h = cfg.in_shape[0], cfg.out_shape[0]
+        if in_h % R or out_h % R:
+            raise ValueError(
+                f"in_h={in_h} and out_h={out_h} must divide rows axis size {R}"
+            )
+        self.rows_n = R
+        self.in_h_local = in_h // R
+        n, d = cfg.scale_h
+        # halo in input rows; covers upscale (d<=n: a) and downscale bands
+        self.halo = -(-(cfg.a * d) // n) if n < d else cfg.a
+        self.ops = SeparableOps(cfg, dtype)
+        self.dtype = dtype
+
+        spec_in = P(data_axis, rows_axis, None, None)
+        spec_tbl = P(rows_axis, None)
+        self._fn = jax.jit(
+            jax.shard_map(
+                self._shard_fn,
+                mesh=mesh,
+                in_specs=(spec_in, spec_tbl, spec_tbl),
+                out_specs=spec_in,
+            )
+        )
+        # the row-sharded gather/weight tables (global indices)
+        self.idx_v = jax.device_put(
+            jnp.asarray(self.ops.op_v.idx),
+            NamedSharding(mesh, spec_tbl),
+        )
+        self.w_v = jax.device_put(
+            jnp.asarray(self.ops.op_v.weights, dtype),
+            NamedSharding(mesh, spec_tbl),
+        )
+
+    def _shard_fn(self, x, idx_v, w_v):
+        cfg = self.cfg
+        r = jax.lax.axis_index(self.rows_axis)
+        was_int = jnp.issubdtype(x.dtype, jnp.integer)
+        x = x.astype(self.dtype)
+        # vertical pass: halo exchange then locally-rebased banded gather
+        x_ext = halo_exchange_rows(x, self.halo, self.rows_axis, axis=1)
+        local_idx = idx_v - (r * self.in_h_local - self.halo)
+        v = apply_banded(x_ext, local_idx, w_v, axis=1, a=cfg.a, dering=cfg.dering)
+        if cfg.intermediate_quantize:
+            v = quantize_uint8(v, self.dtype)
+        # horizontal pass: row-local, full-width tables
+        out = apply_banded(
+            v, self.ops.idx_h, self.ops.w_h, axis=2, a=cfg.a, dering=cfg.dering
+        )
+        if was_int or cfg.intermediate_quantize:
+            return quantize_uint8(out)
+        return out
+
+    def __call__(self, img) -> jnp.ndarray:
+        img = jax.device_put(
+            img,
+            NamedSharding(self.mesh, P(self.data_axis, self.rows_axis, None, None)),
+        )
+        return self._fn(img, self.idx_v, self.w_v)

@@ -1,0 +1,104 @@
+"""Timing, roofline, and trace utilities.
+
+The reference's only observability is printf + the Vivado HLS static
+schedule report (SURVEY.md §5).  The TPU equivalents here:
+
+- :func:`time_fn` — wall-clock a jitted callable with ``block_until_ready``
+  (compile excluded), the analog of reading the csim run time.
+- :class:`Roofline` — the analytic model the HLS latency report played:
+  given a config, the minimum HBM bytes a fused resample must move and the
+  resulting upper-bound throughput on the current chip.
+- :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard trace directory for kernel-level inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+
+from lanczos_tpu.core.config import ResampleConfig
+
+# Peak HBM bandwidth (bytes/s) and bf16 FLOP/s by device-kind substring.
+CHIP_SPECS = {
+    "v5 lite": (819e9, 394e12),
+    "v5e": (819e9, 394e12),
+    "v5p": (2765e9, 459e12),
+    "v6": (1640e9, 918e12),
+    "v4": (1228e9, 275e12),
+    "v3": (900e9, 123e12),
+    "cpu": (50e9, 1e12),
+}
+
+
+def chip_spec(device=None):
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, spec in CHIP_SPECS.items():
+        if key in kind:
+            return spec
+    return CHIP_SPECS["v5e"]
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
+    """Mean seconds per call of a device function (first call compiles)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+@dataclasses.dataclass
+class Roofline:
+    """Minimum-traffic roofline for a fused uint8→uint8 2D resample."""
+
+    cfg: ResampleConfig
+    hbm_bytes: int  # minimal HBM traffic per frame
+    flops: int  # MXU flops the fused banded-matmul formulation performs
+    bw: float  # chip HBM bandwidth
+    peak_flops: float
+
+    @classmethod
+    def for_config(
+        cls, cfg: ResampleConfig, device=None, batch: int = 1
+    ) -> "Roofline":
+        (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
+        c = cfg.channels
+        bw, pk = chip_spec(device)
+        bytes_min = batch * c * (ih * iw + oh * ow)  # uint8 in + out, once
+        # fused-kernel matmul flops (dense banded tiles, K ≈ stride + 2a)
+        kv = ih / max(oh, 1) if oh else 1
+        flops = batch * c * 2 * (
+            oh * iw * (ih // max(1, oh // 1) + 2 * cfg.a)  # vertical (approx)
+            + oh * ow * (2 * cfg.a + 2)  # horizontal band
+        )
+        return cls(cfg, bytes_min, int(flops), bw, pk)
+
+    @property
+    def min_seconds(self) -> float:
+        return max(self.hbm_bytes / self.bw, self.flops / self.peak_flops)
+
+    def mpix_per_s(self) -> float:
+        oh, ow = self.cfg.out_shape
+        return oh * ow / 1e6 / self.min_seconds
+
+    def fraction(self, measured_seconds: float) -> float:
+        return self.min_seconds / measured_seconds
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/lanczos_tpu_trace"):
+    """jax.profiler trace context (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()

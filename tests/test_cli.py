@@ -1,0 +1,49 @@
+"""CLI end-to-end: PNG in → upscaled PNG out + oracle comparison print."""
+
+import numpy as np
+
+from lanczos_tpu.cli import main
+from lanczos_tpu.io import read_png, write_png
+
+
+def test_cli_end_to_end(tmp_path, rng, capsys):
+    img = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    dst = tmp_path / "out.png"
+    write_png(src, img)
+    rc = main([str(src), str(dst), "--scale", "2/1", "--a", "2",
+               "--profile", "c_oracle", "--backend", "xla", "--expected"])
+    assert rc == 0
+    out = read_png(dst)
+    assert out.shape == (64, 48, 3)
+    captured = capsys.readouterr().out
+    assert "PSNR" in captured
+    # c_oracle profile on the XLA backend is bit-exact vs the ref oracle
+    assert "PSNR: inf" in captured or "RMS error vs oracle: 0.0000" in captured
+    ex = list(tmp_path.glob("*expected.png"))
+    assert len(ex) == 1
+
+
+def test_cli_default_output_name(tmp_path, rng):
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    write_png(src, img)
+    rc = main([str(src), "--scale", "3/1", "--a", "2", "--no-psnr"])
+    assert rc == 0
+    outs = list(tmp_path.glob("*observed.png"))
+    assert len(outs) == 1
+    assert "16x16-48x48_3|1_2-" in outs[0].name
+
+
+def test_cli_rgba_and_gray(tmp_path, rng):
+    rgba = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    src = tmp_path / "rgba.png"
+    write_png(src, rgba)
+    assert main([str(src), str(tmp_path / "o1.png"), "--scale", "2",
+                 "--no-psnr"]) == 0
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    src2 = tmp_path / "gray.png"
+    write_png(src2, gray)
+    assert main([str(src2), str(tmp_path / "o2.png"), "--scale", "2",
+                 "--no-psnr"]) == 0
+    assert read_png(tmp_path / "o2.png").shape == (32, 32, 3)

@@ -1,0 +1,94 @@
+"""Fused Pallas kernel (interpret mode) vs the XLA gather path.
+
+The two paths compute the same banded operators with different float
+summation orders (tile matmuls vs per-tap FMA), so uint8 outputs may differ
+by 1 where a value sits exactly on a truncation boundary; assert ≤1 ULP and
+tiny mean difference, plus exact equality of the underlying math on images
+designed to avoid boundary values.
+"""
+
+import numpy as np
+import pytest
+
+from lanczos_tpu.core.config import EdgeMode, Profile, ResampleConfig
+from lanczos_tpu.models.upscaler import Upscaler
+from lanczos_tpu.ops.resample_pallas import PallasOps, resample_2d_pallas, upscale_planar
+from lanczos_tpu.utils.metrics import psnr
+
+
+def _run_pallas(cfg, img, **kw):
+    ops = PallasOps(cfg, interpret=True, **kw)
+    return np.asarray(resample_2d_pallas(img, ops))
+
+
+@pytest.mark.parametrize("scale", [(2, 1), (3, 1), (3, 2)])
+def test_pallas_matches_xla_upscale(rng, scale, small_img):
+    n, d = scale
+    h, w = small_img.shape[:2]
+    h, w = (h // d) * d, (w // d) * d
+    img = small_img[:h, :w]
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (h, w), scale=scale, a=2)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, tile_h=8 * n, tile_w=128 * n)
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+@pytest.mark.parametrize("edge", [EdgeMode.CLAMP, EdgeMode.DROP, EdgeMode.REFLECT])
+def test_pallas_edge_modes(rng, edge, small_img):
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=(2, 1), a=3,
+        edge_mode=edge, normalize=edge != EdgeMode.DROP,
+    )
+    ref = np.asarray(Upscaler(cfg, backend="xla")(small_img))
+    out = _run_pallas(cfg, small_img, tile_h=16, tile_w=128)
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1
+
+
+def test_pallas_batched_planar(rng, small_img):
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=(2, 1), a=2
+    )
+    batch = np.stack([small_img, small_img[::-1].copy()])
+    ops = PallasOps(cfg, interpret=True, tile_h=16, tile_w=128)
+    planar = np.transpose(batch, (0, 3, 1, 2)).copy()
+    out_p = np.asarray(upscale_planar(planar, ops))
+    out_i = np.asarray(resample_2d_pallas(batch, ops))
+    np.testing.assert_array_equal(np.transpose(out_p, (0, 2, 3, 1)), out_i)
+    assert out_i.shape == (2, *cfg.out_shape, 3)
+
+
+def test_pallas_nondivisible_tiles(rng, small_img):
+    """Output dims not divisible by the tile → partial edge tiles masked."""
+    h, w = small_img.shape[:2]
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (h, w), scale=(2, 1), a=2)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(small_img))
+    out = _run_pallas(cfg, small_img, tile_h=20, tile_w=36)
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1
+
+
+def test_pallas_psnr_vs_oracle(rng, small_img):
+    """End-to-end quality: fused kernel vs fp64 clean resample ≥ 55 dB."""
+    from lanczos_tpu.ref.oracle import clean_resample_2d
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=(2, 1), a=3
+    )
+    out = _run_pallas(cfg, small_img, tile_h=16, tile_w=128)
+    gold = clean_resample_2d(small_img, cfg)
+    gold = np.trunc(np.clip(gold, 0, 255)).astype(np.uint8)
+    assert psnr(out, gold) > 55.0
+
+
+def test_pallas_downscale(rng):
+    img = (
+        np.linspace(0, 255, 64 * 48 * 3).reshape(64, 48, 3).astype(np.uint8)
+    )
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (64, 48), scale=(1, 2), a=2)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, tile_h=16, tile_w=128)
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1

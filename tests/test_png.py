@@ -1,0 +1,125 @@
+"""PNG codec: round-trips, cross-validation against PIL, native-vs-NumPy
+filter paths, and malformed-input errors."""
+
+import io as _io
+import zlib
+
+import numpy as np
+import pytest
+
+from lanczos_tpu.io import PNGError, decode, encode
+from lanczos_tpu.io._native import native_lib
+from lanczos_tpu.io.png import _unfilter_numpy
+
+
+def _rand_img(rng, h, w, c):
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_roundtrip(rng, c):
+    img = _rand_img(rng, 37, 23, c)
+    out = decode(encode(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_roundtrip_structured(rng):
+    """Structured content exercises Sub/Up/Paeth filter selection."""
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = np.stack([yy * 4, xx * 5, (yy + xx) * 2], axis=-1).astype(np.uint8)
+    out = decode(encode(img, compress_level=9))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_matches_pil(rng):
+    PIL = pytest.importorskip("PIL.Image")
+    img = _rand_img(rng, 41, 29, 3)
+    buf = _io.BytesIO()
+    PIL.fromarray(img).save(buf, format="PNG")
+    out = decode(buf.getvalue())
+    np.testing.assert_array_equal(out, img)
+
+
+def test_encode_readable_by_pil(rng):
+    PIL = pytest.importorskip("PIL.Image")
+    img = _rand_img(rng, 33, 57, 3)
+    data = encode(img)
+    back = np.asarray(PIL.open(_io.BytesIO(data)))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_pil_filters_all_types(rng):
+    """PIL's encoder uses Average/Paeth; decoding its output covers all
+    filter branches."""
+    PIL = pytest.importorskip("PIL.Image")
+    # smooth gradient → Average/Paeth get chosen
+    yy, xx = np.mgrid[0:128, 0:96]
+    img = ((yy * 1.7 + xx * 0.3) % 256).astype(np.uint8)
+    img = np.stack([img, img[::-1], img.T[:96].T], axis=-1).astype(np.uint8)
+    buf = _io.BytesIO()
+    PIL.fromarray(img).save(buf, format="PNG", optimize=True)
+    out = decode(buf.getvalue())
+    np.testing.assert_array_equal(out, img)
+
+
+def test_native_matches_numpy_unfilter(rng):
+    PIL = pytest.importorskip("PIL.Image")
+    if native_lib() is None:
+        pytest.skip("no native lib")
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack([yy * 3, xx * 2, yy + xx], axis=-1).astype(np.uint8)
+    buf = _io.BytesIO()
+    PIL.fromarray(img).save(buf, format="PNG")
+    data = buf.getvalue()
+    # decode() uses native; force the numpy path for comparison
+    import lanczos_tpu.io.png as png_mod
+
+    out_native = decode(data)
+    orig = png_mod._unfilter
+    try:
+        png_mod._unfilter = lambda raw, h, s, b: _unfilter_numpy(raw, h, s, b)
+        out_numpy = decode(data)
+    finally:
+        png_mod._unfilter = orig
+    np.testing.assert_array_equal(out_native, out_numpy)
+
+
+def test_grayscale_2d_encode(rng):
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    out = decode(encode(img))
+    np.testing.assert_array_equal(out[..., 0], img)
+
+
+def test_paletted_png():
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+    pimg = PIL.fromarray(img).quantize(colors=16)
+    buf = _io.BytesIO()
+    pimg.save(buf, format="PNG")
+    ours = decode(buf.getvalue())
+    theirs = np.asarray(pimg.convert("RGB"))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_16bit_narrowing():
+    PIL = pytest.importorskip("PIL.Image")
+    img16 = (np.arange(256, dtype=np.uint16).reshape(16, 16) * 257)
+    buf = _io.BytesIO()
+    PIL.fromarray(img16, mode="I;16").save(buf, format="PNG")
+    out = decode(buf.getvalue())
+    np.testing.assert_array_equal(out[..., 0], (img16 >> 8).astype(np.uint8))
+
+
+def test_errors():
+    with pytest.raises(PNGError):
+        decode(b"not a png at all")
+    with pytest.raises(PNGError):
+        encode(np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(PNGError):
+        encode(np.zeros((4, 4, 7), np.uint8))
+    # truncated IDAT
+    rng = np.random.default_rng(0)
+    data = bytearray(encode(_rand_img(rng, 8, 8, 3)))
+    with pytest.raises(Exception):
+        decode(bytes(data[:40]))

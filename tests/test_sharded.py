@@ -1,0 +1,76 @@
+"""Multi-chip row-partitioned path vs the single-chip XLA path.
+
+Runs on the virtual 8-device CPU mesh (conftest.py) — the TPU analog of the
+reference's "csim as fake device" strategy (SURVEY.md §4).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lanczos_tpu.core.config import EdgeMode, Profile, ResampleConfig
+from lanczos_tpu.models.upscaler import Upscaler
+from lanczos_tpu.parallel.sharded import ShardedUpscaler, choose_mesh_shape
+
+
+def _img(rng, b, h, w):
+    return rng.integers(0, 256, size=(b, h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_matches_single_chip(rng, mesh_shape):
+    mesh = jax.make_mesh(mesh_shape, ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (32, 24), scale=(2, 1), a=2
+    )
+    img = _img(rng, mesh_shape[0], 32, 24)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("scale", [(2, 1), (3, 1), (3, 2), (5, 4), (7, 2)])
+@pytest.mark.parametrize("edge", [EdgeMode.CLAMP, EdgeMode.DROP, EdgeMode.REFLECT])
+def test_sharded_scales_and_edges(rng, scale, edge):
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    n, d = scale
+    in_h = 8 * d * 4  # divisible by rows axis and by d
+    in_w = 16 * d
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (in_h, in_w), scale=scale, a=3, edge_mode=edge
+    )
+    img = _img(rng, 2, in_h, in_w)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_dering(rng):
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (32, 16), scale=(2, 1), a=2, dering=True
+    )
+    img = _img(rng, 1, 32, 16)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_downscale(rng):
+    """Downscale needs a wider (a·D/N-row) halo."""
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (64, 32), scale=(1, 2), a=3
+    )
+    img = _img(rng, 1, 64, 32)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_choose_mesh_shape():
+    for n in (1, 2, 4, 8, 16):
+        d, r = choose_mesh_shape(n)
+        assert d * r == n
+    assert choose_mesh_shape(8) == (2, 4)
+    assert choose_mesh_shape(1) == (1, 1)
