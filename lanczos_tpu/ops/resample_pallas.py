@@ -141,11 +141,8 @@ class PallasOps:
     ):
         if cfg.precision == Precision.FIXED:
             raise NotImplementedError("use ops.fixed_point for the HLS path")
-        if cfg.dering:
-            raise NotImplementedError(
-                "dering is not supported in the fused Pallas path yet; "
-                "use the XLA backend"
-            )
+        # dering is resolved below once the per-axis plans exist (it needs
+        # the shift-FMA variant on both axes)
         if cfg.c_faithful:
             raise NotImplementedError("c_faithful is XLA/ref-backend only")
         if not cfg.normalize and cfg.edge_mode == EdgeMode.CLAMP:
@@ -174,6 +171,11 @@ class PallasOps:
         # remains for rational scales (D > 1) and huge N.
         self.v_shift = self.pv.d == 1 and self.pv.n <= 16
         self.h_shift = self.ph.d == 1 and self.ph.n <= 16
+        if cfg.dering and not (self.v_shift and self.h_shift):
+            raise NotImplementedError(
+                "dering in the fused Pallas path requires integer upscale "
+                "factors (shift-FMA variant); use the XLA backend"
+            )
         self.tbl_v = _phase_table(
             self.pv.n, self.pv.d, cfg.a, self.pv.support, cfg.filter,
             cfg.normalize,
@@ -227,7 +229,7 @@ class PallasOps:
         return x
 
 
-def _shift_pass(x, plan, tbl):
+def _shift_pass(x, plan, tbl, dering: bool = False):
     """Shift-FMA 1-D resample along axis 0 (sublanes), D == 1.
 
     Each phase plane is Σ_t w[p,t]·x[1+t : 1+t+m] (unit-stride shifted
@@ -235,15 +237,24 @@ def _shift_pass(x, plan, tbl):
     sublane stack+reshape (out row k·N+p = plane_p[k]), which Mosaic
     supports on non-lane dims.  Lane-dim interleaves are NOT lowerable, so
     the horizontal pass transposes, runs this, and transposes back.
+
+    ``dering`` clamps each output to the [min, max] of the two central
+    taps (x[s+k], x[s+1+k]) — the reference's FSR-inspired anti-ringing
+    step (worker.cpp:64-75) — two more unit-stride slices per phase.
     """
     m = plan.stride_in
-    taps = 2 * plan.support
+    s = plan.support
+    taps = 2 * s
     accs = []
     for p in range(plan.n):
         acc = None
         for t in range(taps):
             term = float(tbl[p, t]) * x[1 + t : 1 + t + m, :]
             acc = term if acc is None else acc + term
+        if dering:
+            c0 = x[s : s + m, :]
+            c1 = x[s + 1 : s + 1 + m, :]
+            acc = jnp.clip(acc, jnp.minimum(c0, c1), jnp.maximum(c0, c1))
         accs.append(acc)
     if plan.n == 1:
         return accs[0]
@@ -302,7 +313,7 @@ def _fused_kernel(
 
     # ---- vertical pass ----
     if ops.v_shift:
-        tmp = _shift_pass(xi.astype(jnp.float32), pv, ops.tbl_v)
+        tmp = _shift_pass(xi.astype(jnp.float32), pv, ops.tbl_v, ops.cfg.dering)
     else:
         x = xi.astype(jnp.bfloat16)  # exact for 0..255
         if ops.split:
@@ -317,7 +328,7 @@ def _fused_kernel(
         # into a pathological search (observed as a compile hang); a ref
         # store/load forces a canonical layout first.
         mid[...] = tmp.astype(jnp.float32)
-        y = _shift_pass(mid[...].T, ph, ops.tbl_h).T
+        y = _shift_pass(mid[...].T, ph, ops.tbl_h, ops.cfg.dering).T
     elif ops.split:
         t_hi = tmp.astype(jnp.bfloat16)
         t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -1,0 +1,80 @@
+"""Multi-host execution helpers (DCN across hosts, ICI within a slice).
+
+The reference's communication fabric is point-to-point AXI-Stream
+(``lanczos.cpp:94-95``); the TPU equivalent is two-tier: ICI within a pod
+slice, DCN between hosts (SURVEY.md §5 "distributed communication
+backend").  The design rule encoded here: the ``rows`` axis (halo
+exchange, latency-sensitive ring ppermute every step) must ride ICI, so it
+is laid out within a host's local devices; the ``data`` axis (batch of
+frames, no inter-step communication) spans hosts over DCN.
+
+Single-process multi-device (including the CPU-mesh tests and the
+single-host TPU case) needs no initialization; call :func:`initialize`
+only in true multi-process jobs (one process per host).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize wrapper (no-op if already initialized).
+
+    With no arguments, relies on the cluster environment (TPU pods
+    auto-discover via the metadata service).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
+def dcn_aware_mesh(
+    rows_per_host: Optional[int] = None,
+    data_axis: str = "data",
+    rows_axis: str = "rows",
+) -> Mesh:
+    """(data × rows) mesh with the rows axis contained in one host.
+
+    ``rows_per_host`` defaults to the per-host (local) device count, so
+    every ppermute halo hop is an ICI neighbor; the data axis then spans
+    host boundaries (DCN), where only input scatter / output gather cross.
+    """
+    devices = jax.devices()
+    local = jax.local_device_count()
+    rows_n = rows_per_host or local
+    if len(devices) % rows_n:
+        raise ValueError(
+            f"device count {len(devices)} not divisible by rows axis {rows_n}"
+        )
+    # jax.devices() orders by (process, local id): reshaping to
+    # (n_hosts·k, rows_n) keeps each rows group within one process as long
+    # as rows_n divides the local device count.
+    if local % rows_n and rows_n % local:
+        raise ValueError(
+            f"rows_per_host {rows_n} must divide or be divisible by the "
+            f"local device count {local} to stay ICI-local"
+        )
+    grid = np.array(devices).reshape(len(devices) // rows_n, rows_n)
+    return Mesh(grid, (data_axis, rows_axis))
+
+
+def scaling_efficiency(
+    total_mpix_s: float, single_device_mpix_s: float, n_devices: int
+) -> float:
+    """Fraction of linear scaling achieved (BASELINE.md: ≥ 0.85 target)."""
+    return total_mpix_s / (single_device_mpix_s * n_devices)

@@ -133,20 +133,35 @@ class ShardedUpscaler:
         )
 
     def _shard_fn(self, x, idx_v, w_v):
+        from lanczos_tpu.core.config import Order
+
         cfg = self.cfg
         r = jax.lax.axis_index(self.rows_axis)
         was_int = jnp.issubdtype(x.dtype, jnp.integer)
         x = x.astype(self.dtype)
-        # vertical pass: halo exchange then locally-rebased banded gather
-        x_ext = halo_exchange_rows(x, self.halo, self.rows_axis, axis=1)
-        local_idx = idx_v - (r * self.in_h_local - self.halo)
-        v = apply_banded(x_ext, local_idx, w_v, axis=1, a=cfg.a, dering=cfg.dering)
-        if cfg.intermediate_quantize:
-            v = quantize_uint8(v, self.dtype)
-        # horizontal pass: row-local, full-width tables
-        out = apply_banded(
-            v, self.ops.idx_h, self.ops.w_h, axis=2, a=cfg.a, dering=cfg.dering
-        )
+
+        def vpass(v):
+            # halo exchange then locally-rebased banded gather (the
+            # communicating pass; the horizontal pass is row-local)
+            ext = halo_exchange_rows(v, self.halo, self.rows_axis, axis=1)
+            local_idx = idx_v - (r * self.in_h_local - self.halo)
+            return apply_banded(
+                ext, local_idx, w_v, axis=1, a=cfg.a, dering=cfg.dering
+            )
+
+        def hpass(v):
+            return apply_banded(
+                v, self.ops.idx_h, self.ops.w_h, axis=2, a=cfg.a,
+                dering=cfg.dering,
+            )
+
+        def maybe_q(v):
+            return quantize_uint8(v, self.dtype) if cfg.intermediate_quantize else v
+
+        if cfg.order == Order.WIDTH_FIRST:
+            out = vpass(maybe_q(hpass(x)))
+        else:
+            out = hpass(maybe_q(vpass(x)))
         if was_int or cfg.intermediate_quantize:
             return quantize_uint8(out)
         return out

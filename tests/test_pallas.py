@@ -83,6 +83,29 @@ def test_pallas_psnr_vs_oracle(rng, small_img):
     assert psnr(out, gold) > 55.0
 
 
+def test_pallas_dering(rng, small_img):
+    """FSR-style anti-ringing clamp in the shift-FMA path vs XLA.
+
+    CLAMP edges only: with DROP the XLA path's clamp bounds read
+    edge-clamped taps while the kernel's zero padding reads zeros.
+    """
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=(2, 1), a=2, dering=True
+    )
+    ref = np.asarray(Upscaler(cfg, backend="xla")(small_img))
+    out = _run_pallas(cfg, small_img, tile_h=16, tile_w=128)
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1
+
+
+def test_pallas_dering_rational_scale_raises(small_img):
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(3, 2), a=2, dering=True
+    )
+    with pytest.raises(NotImplementedError):
+        PallasOps(cfg, interpret=True)
+
+
 def test_pallas_downscale(rng):
     img = (
         np.linspace(0, 255, 64 * 48 * 3).reshape(64, 48, 3).astype(np.uint8)

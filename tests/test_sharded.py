@@ -68,6 +68,22 @@ def test_sharded_downscale(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_width_first_quantized(rng):
+    """Width-first with a quantized intermediate (order-sensitive path)."""
+    from lanczos_tpu.core.config import Order
+
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (32, 16), scale=(2, 1), a=2,
+        order=Order.WIDTH_FIRST, intermediate_quantize=True, normalize=False,
+        edge_mode=EdgeMode.DROP,
+    )
+    img = _img(rng, 1, 32, 16)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_choose_mesh_shape():
     for n in (1, 2, 4, 8, 16):
         d, r = choose_mesh_shape(n)
