@@ -55,8 +55,19 @@ def main():
     model = Upscaler(cfg, backend="auto")
 
     rng = np.random.default_rng(0)
-    if model.backend == "pallas":
+    if model.backend == "shift_xla":
         # planar fast path (the framework's preferred throughput layout)
+        import jax as _jax
+
+        from lanczos_tpu.ops.resample_shift_xla import resample_2d_shift_xla
+
+        img = jnp.asarray(
+            rng.integers(0, 256, size=(3, *in_shape), dtype=np.uint8)
+        )
+        fn = _jax.jit(
+            lambda x: resample_2d_shift_xla(x, model._ops, channel_last=False)
+        )
+    elif model.backend == "pallas":
         import jax as _jax
 
         from lanczos_tpu.ops.resample_pallas import upscale_planar

@@ -28,12 +28,32 @@ from lanczos_tpu.ops.fixed_point import HLSOps, hls_upscale_xla
 from lanczos_tpu.ops.resample_xla import SeparableOps, resample_2d_xla
 
 
+def _shift_eligible(cfg: ResampleConfig) -> bool:
+    """Whether the strided shift-FMA XLA path covers this config.
+
+    It is the fastest single-chip path (XLA fuses each pass into one
+    loop); needs float precision, no c-faithful quirk, phase counts within
+    the unroll budget, and D-divisible input dims.
+    """
+    from lanczos_tpu.ops.resample_shift_xla import MAX_PHASES
+
+    if cfg.precision == Precision.FIXED or cfg.c_faithful:
+        return False
+    if cfg.intermediate_quantize:
+        return False
+    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
+    if nv > MAX_PHASES or nh > MAX_PHASES:
+        return False
+    return cfg.in_shape[0] % dv == 0 and cfg.in_shape[1] % dh == 0
+
+
 def _pallas_eligible(cfg: ResampleConfig) -> bool:
     """Whether the fused Pallas kernel covers this config on a TPU backend.
 
     Unsupported there (falls back to XLA): the fixed-point HLS path, the
-    dering clamp, the c-faithful in-place quirk, and non-TPU default
-    devices (the kernel targets Mosaic; interpret mode is test-only).
+    dering clamp with rational scales, the c-faithful in-place quirk, and
+    non-TPU default devices (the kernel targets Mosaic; interpret mode is
+    test-only).
     """
     if cfg.precision == Precision.FIXED or cfg.dering or cfg.c_faithful:
         return False
@@ -51,20 +71,35 @@ class Upscaler:
     ):
         self.cfg = cfg
         if backend == "auto":
-            backend = "pallas" if _pallas_eligible(cfg) else "xla"
+            if _shift_eligible(cfg):
+                backend = "shift_xla"
+            elif _pallas_eligible(cfg):
+                backend = "pallas"
+            else:
+                backend = "xla"
         self.backend = backend
         self.dtype = jnp.bfloat16 if cfg.precision == Precision.BF16 else dtype
 
         if cfg.precision == Precision.FIXED:
             self._ops = HLSOps.build(cfg)
             self._fn = jax.jit(partial(hls_upscale_xla, ops=self._ops))
+        elif backend == "shift_xla":
+            from lanczos_tpu.ops.resample_shift_xla import (
+                ShiftOps,
+                resample_2d_shift_xla,
+            )
+
+            self._ops = ShiftOps(cfg, self.dtype)
+            self._fn = jax.jit(partial(resample_2d_shift_xla, ops=self._ops))
         elif backend == "xla":
             self._ops = SeparableOps(cfg, self.dtype)
             self._fn = jax.jit(partial(resample_2d_xla, ops=self._ops))
         elif backend == "pallas":
             from lanczos_tpu.ops.resample_pallas import PallasOps, resample_2d_pallas
 
-            self._ops = PallasOps(cfg, self.dtype)
+            # no Mosaic on CPU: fall back to the Pallas interpreter there
+            interpret = jax.default_backend() == "cpu"
+            self._ops = PallasOps(cfg, self.dtype, interpret=interpret)
             self._fn = jax.jit(partial(resample_2d_pallas, ops=self._ops))
         elif backend == "ref":
             self._ops = None

@@ -245,16 +245,21 @@ def _shift_pass(x, plan, tbl, dering: bool = False):
     m = plan.stride_in
     s = plan.support
     taps = 2 * s
+    # With D == 1 every phase reads the SAME tap slices (x[1+t : 1+t+m]),
+    # only the scalar weights differ — extract each slice once and reuse
+    # across phases (halves VMEM read traffic for N=2).
+    slices = [x[1 + t : 1 + t + m, :] for t in range(taps)]
+    if dering:
+        lo = jnp.minimum(slices[s - 1], slices[s])
+        hi = jnp.maximum(slices[s - 1], slices[s])
     accs = []
     for p in range(plan.n):
         acc = None
         for t in range(taps):
-            term = float(tbl[p, t]) * x[1 + t : 1 + t + m, :]
+            term = float(tbl[p, t]) * slices[t]
             acc = term if acc is None else acc + term
         if dering:
-            c0 = x[s : s + m, :]
-            c1 = x[s + 1 : s + 1 + m, :]
-            acc = jnp.clip(acc, jnp.minimum(c0, c1), jnp.maximum(c0, c1))
+            acc = jnp.clip(acc, lo, hi)
         accs.append(acc)
     if plan.n == 1:
         return accs[0]
@@ -262,54 +267,57 @@ def _shift_pass(x, plan, tbl, dering: bool = False):
 
 
 def _fused_kernel(
-    img_ref, wv_hi, wv_lo, wh_hi, wh_lo, out_ref, slab, mid, sems,
+    img_ref, wv_hi, wv_lo, wh_hi, wh_lo, out_ref, band, mid, sems,
     *, ops: PallasOps
 ):
-    """Per-tile body with 2-slot double buffering: the DMA for grid step
-    t+1 is launched before waiting on step t's slab, so the HBM fetch of
-    the next input tile hides under this tile's matmuls (the TPU analog of
-    the reference's 3-stage DATAFLOW / ping-pong buffers, lanczos.cpp:72-82;
-    output write-back is double-buffered by Pallas itself)."""
+    """Grid-step body: one (channel, row-tile, column-chunk) per step.
+
+    The input DMA fetches a FULL-WIDTH row band — rows are contiguous in
+    HBM, so the copy is one linear transfer (the per-column-tile strided
+    slab form cost ~10 µs per slab in DMA descriptor overhead and
+    dominated the kernel).  The band lives in a persistent 2-slot scratch:
+    it is fetched once per (c, i) at the first column chunk (j == 0), and
+    the NEXT band's DMA is started at the same moment — so the transfer of
+    band b+1 overlaps all n_j chunk computations of band b (the TPU analog
+    of the reference's DATAFLOW ping-pong, lanczos.cpp:72-82).  Output
+    write-back is double-buffered by Pallas itself.
+    """
     pv, ph = ops.pv, ops.ph
-    n_i, n_j = pv.num_tiles, ph.num_tiles
+    n_i = pv.num_tiles
     c = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    lin = (c * n_i + i) * n_j + j
-    total = pl.num_programs(0) * n_i * n_j
+    band_lin = c * n_i + i
+    bands_total = pl.num_programs(0) * n_i
 
-    def dma_for(lin_idx, slot):
-        cc = lin_idx // (n_i * n_j)
-        rem = lin_idx % (n_i * n_j)
-        ii = rem // n_j
-        jj = rem % n_j
+    def dma_for(band_idx, slot):
+        cc = band_idx // n_i
+        ii = band_idx % n_i
         return pltpu.make_async_copy(
-            img_ref.at[
-                cc,
-                pl.ds(ii * pv.stride_in, pv.k_pad),
-                pl.ds(jj * ph.stride_in, ph.k_pad),
-            ],
-            slab.at[slot],
+            img_ref.at[cc, pl.ds(ii * pv.stride_in, pv.k_pad), :],
+            band.at[slot],
             sems.at[slot],
         )
 
-    slot = lin % 2
+    slot = band_lin % 2
 
-    @pl.when(lin == 0)
+    @pl.when((band_lin == 0) & (j == 0))
     def _():
-        dma_for(lin, slot).start()
+        dma_for(0, 0).start()
 
-    @pl.when(lin + 1 < total)
+    @pl.when((j == 0) & (band_lin + 1 < bands_total))
     def _():
-        dma_for(lin + 1, (lin + 1) % 2).start()
+        dma_for(band_lin + 1, (band_lin + 1) % 2).start()
 
-    dma_for(lin, slot).wait()
+    @pl.when(j == 0)
+    def _():
+        dma_for(band_lin, slot).wait()
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     # Mosaic has no direct u8->float casts; hop through int32.
-    xi = slab[slot].astype(jnp.int32)
+    xi = band[slot, :, pl.ds(j * ph.stride_in, ph.k_pad)].astype(jnp.int32)
 
     # ---- vertical pass ----
     if ops.v_shift:
@@ -324,9 +332,9 @@ def _fused_kernel(
     # ---- horizontal pass ----
     if ops.h_shift:
         # Round-trip through VMEM scratch: transposing the freshly
-        # stacked/reshaped value directly sends Mosaic's layout inference
-        # into a pathological search (observed as a compile hang); a ref
-        # store/load forces a canonical layout first.
+        # stacked/reshaped value sends Mosaic's layout inference into a
+        # pathological search (observed compile hang); a ref store/load
+        # forces a canonical layout first.
         mid[...] = tmp.astype(jnp.float32)
         y = _shift_pass(mid[...].T, ph, ops.tbl_h, ops.cfg.dering).T
     elif ops.split:
@@ -343,6 +351,7 @@ def _fused_call(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
     """(NC, Hp, Wp) uint8 padded planar → (NC, OH, OW) uint8."""
     pv, ph = ops.pv, ops.ph
     nc = img_planar.shape[0]
+    wp = img_planar.shape[-1]
     oh, ow = ops.cfg.out_shape
     grid = (nc, pv.num_tiles, ph.num_tiles)
     kernel = functools.partial(_fused_kernel, ops=ops)
@@ -369,7 +378,7 @@ def _fused_call(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((nc, oh, ow), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, pv.k_pad, ph.k_pad), jnp.uint8),
+            pltpu.VMEM((2, pv.k_pad, wp), jnp.uint8),
             pltpu.VMEM((pv.tile_out, ph.k_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

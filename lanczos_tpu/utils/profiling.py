@@ -74,12 +74,11 @@ class Roofline:
         c = cfg.channels
         bw, pk = chip_spec(device)
         bytes_min = batch * c * (ih * iw + oh * ow)  # uint8 in + out, once
-        # fused-kernel matmul flops (dense banded tiles, K ≈ stride + 2a)
-        kv = ih / max(oh, 1) if oh else 1
-        flops = batch * c * 2 * (
-            oh * iw * (ih // max(1, oh // 1) + 2 * cfg.a)  # vertical (approx)
-            + oh * ow * (2 * cfg.a + 2)  # horizontal band
-        )
+        # useful banded MACs: every output element of each separable pass
+        # touches 2a taps (height-first: vertical emits oh×iw, horizontal
+        # oh×ow)
+        taps = 2 * cfg.a
+        flops = batch * c * 2 * taps * (oh * iw + oh * ow)
         return cls(cfg, bytes_min, int(flops), bw, pk)
 
     @property
