@@ -37,9 +37,15 @@ def _shift_eligible(cfg: ResampleConfig) -> bool:
     """
     from lanczos_tpu.ops.resample_shift_xla import MAX_PHASES
 
+    from lanczos_tpu.core.config import EdgeMode
+
     if cfg.precision == Precision.FIXED or cfg.c_faithful:
         return False
     if cfg.intermediate_quantize:
+        return False
+    if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+        # drop-edge + normalization renormalizes over the surviving taps
+        # per row — not expressible as padding + phase-uniform weights
         return False
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
     if nv > MAX_PHASES or nh > MAX_PHASES:

@@ -145,11 +145,11 @@ class PallasOps:
         # the shift-FMA variant on both axes)
         if cfg.c_faithful:
             raise NotImplementedError("c_faithful is XLA/ref-backend only")
-        if not cfg.normalize and cfg.edge_mode == EdgeMode.CLAMP:
-            # phase-uniform weights + replicate padding implies the clamp
-            # edge is exact only alongside per-phase weights; fine for both
-            # normalized and unnormalized — nothing to do.
-            pass
+        if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+            raise NotImplementedError(
+                "drop-edge + per-row normalization renormalizes over the "
+                "surviving taps; use the gather (xla) backend"
+            )
         self.cfg = cfg
         self.interpret = interpret
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape

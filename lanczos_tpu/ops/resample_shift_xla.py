@@ -70,6 +70,10 @@ class ShiftOps:
     def __init__(self, cfg: ResampleConfig, dtype=jnp.float32):
         if cfg.precision == Precision.FIXED or cfg.c_faithful:
             raise NotImplementedError("shift path covers the float modes")
+        if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+            raise NotImplementedError(
+                "drop-edge + per-row normalization needs the gather path"
+            )
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
         nv, dv = cfg.scale_h
         nh, dh = cfg.scale_w

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lanczos_tpu.core.config import Precision, ResampleConfig
+from lanczos_tpu.core.config import EdgeMode, Precision, ResampleConfig
 from lanczos_tpu.ops.resample_xla import SeparableOps, apply_banded, quantize_uint8
 
 
@@ -106,11 +106,26 @@ class ShardedUpscaler:
             )
         self.rows_n = R
         self.in_h_local = in_h // R
+        self.out_h_local = out_h // R
         n, d = cfg.scale_h
         # halo in input rows; covers upscale (d<=n: a) and downscale bands
         self.halo = -(-(cfg.a * d) // n) if n < d else cfg.a
         self.ops = SeparableOps(cfg, dtype)
         self.dtype = dtype
+        # shift-FMA fast path (the default single-chip formulation) applies
+        # per shard when the phase pattern is shard-invariant: local output
+        # rows a multiple of N and local input rows a multiple of D
+        from lanczos_tpu.models.upscaler import _shift_eligible
+
+        self.use_shift = (
+            _shift_eligible(cfg)
+            and self.out_h_local % n == 0
+            and self.in_h_local % d == 0
+        )
+        if self.use_shift:
+            from lanczos_tpu.ops.resample_shift_xla import ShiftOps
+
+            self.shift = ShiftOps(cfg, dtype)
 
         spec_in = P(data_axis, rows_axis, None, None)
         spec_tbl = P(rows_axis, None)
@@ -132,6 +147,19 @@ class ShardedUpscaler:
             NamedSharding(mesh, spec_tbl),
         )
 
+    def _edge_pad_rows(self, v, s: int, top: bool):
+        """Edge-mode pad rows for the first/last shard's invalid halo."""
+        mode = self.cfg.edge_mode
+        if mode == EdgeMode.DROP:
+            shape = list(v.shape)
+            shape[1] = s
+            return jnp.zeros(shape, v.dtype)
+        if mode == EdgeMode.CLAMP:
+            row = v[:, :1] if top else v[:, -1:]
+            return jnp.broadcast_to(row, row.shape[:1] + (s,) + row.shape[2:])
+        # REFLECT about the edge sample
+        return v[:, s:0:-1] if top else v[:, -2 : -s - 2 : -1]
+
     def _shard_fn(self, x, idx_v, w_v):
         from lanczos_tpu.core.config import Order
 
@@ -140,7 +168,7 @@ class ShardedUpscaler:
         was_int = jnp.issubdtype(x.dtype, jnp.integer)
         x = x.astype(self.dtype)
 
-        def vpass(v):
+        def vpass_gather(v):
             # halo exchange then locally-rebased banded gather (the
             # communicating pass; the horizontal pass is row-local)
             ext = halo_exchange_rows(v, self.halo, self.rows_axis, axis=1)
@@ -149,11 +177,51 @@ class ShardedUpscaler:
                 ext, local_idx, w_v, axis=1, a=cfg.a, dering=cfg.dering
             )
 
-        def hpass(v):
+        def vpass_shift(v):
+            # the ppermute halo doubles as the shift pass's support pad;
+            # the first/last shard's wrap-around halo is overwritten with
+            # edge-mode padding (it holds the other end of the image)
+            from lanczos_tpu.ops.resample_shift_xla import _axis_shift_pass
+
+            s = self.halo
+            ext = halo_exchange_rows(v, s, self.rows_axis, axis=1)
+            top = jnp.where(r == 0, self._edge_pad_rows(v, s, True), ext[:, :s])
+            bot = jnp.where(
+                r == self.rows_n - 1,
+                self._edge_pad_rows(v, s, False),
+                ext[:, -s:],
+            )
+            ext = jnp.concatenate([top, ext[:, s:-s], bot], axis=1)
+            sh = self.shift
+            return _axis_shift_pass(
+                ext, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 1, cfg.dering
+            )
+
+        def hpass_shift(v):
+            from lanczos_tpu.ops.resample_shift_xla import _axis_shift_pass
+
+            sh = self.shift
+            pad = [(0, 0)] * v.ndim
+            pad[2] = (sh.sup_h, sh.sup_h)
+            if self.cfg.edge_mode == EdgeMode.DROP:
+                ext = jnp.pad(v, pad)
+            else:
+                ext = jnp.pad(
+                    v, pad,
+                    mode="edge" if cfg.edge_mode == EdgeMode.CLAMP else "reflect",
+                )
+            return _axis_shift_pass(
+                ext, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 2, cfg.dering
+            )
+
+        def hpass_gather(v):
             return apply_banded(
                 v, self.ops.idx_h, self.ops.w_h, axis=2, a=cfg.a,
                 dering=cfg.dering,
             )
+
+        vpass = vpass_shift if self.use_shift else vpass_gather
+        hpass = hpass_shift if self.use_shift else hpass_gather
 
         def maybe_q(v):
             return quantize_uint8(v, self.dtype) if cfg.intermediate_quantize else v
