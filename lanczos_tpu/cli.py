@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     p.add_argument("--profile", default="precise",
                    choices=["precise", "c_oracle", "hls"])
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "xla", "pallas", "ref"])
+                   choices=["auto", "shift_xla", "xla", "pallas", "ref"])
     p.add_argument("--filter", default="lanczos")
     p.add_argument("--expected", action="store_true",
                    help="also write the software-oracle output PNG")
