@@ -72,41 +72,58 @@ def _clamp_central(acc, taps_list, a, scale_lo=0):
     return jnp.clip(acc, lo, hi)
 
 
+def hls_vertical_pass(x, eff, w, valid, a: int, P: int, axis: int):
+    """Vertical HLS pass: int32 (..., H, ...) → num units 2^-P.
+
+    Exact P-frac accumulation (byte × P-frac weight) + central-tap dering
+    clamp (worker.cpp:45-78).  ``eff``/``w``/``valid`` are (OUT, 2a) rows
+    of the flattened stream schedule; indices must already be local to x.
+    """
+    taps = 2 * a
+
+    def bshape(v):
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        return v.reshape(shape)
+
+    vals = []
+    acc = None
+    for j in range(taps):
+        v = jnp.take(x, eff[:, j], axis=axis) * bshape(valid[:, j])
+        vals.append(v)
+        term = bshape(w[:, j]) * v
+        acc = term if acc is None else acc + term
+    return _clamp_central(acc, vals, a, scale_lo=P)
+
+
+def hls_horizontal_pass(mid, eff, w, valid, a: int, P: int, axis: int):
+    """Horizontal HLS pass: num units → uint8; per-MAC truncation of
+    2P-frac products to P frac (worker.cpp:91-97) + dering + byte clamp."""
+    taps = 2 * a
+
+    def bshape(v):
+        shape = [1] * mid.ndim
+        shape[axis] = -1
+        return v.reshape(shape)
+
+    vals = []
+    acc = None
+    for j in range(taps):
+        v = jnp.take(mid, eff[:, j], axis=axis) * bshape(valid[:, j])
+        vals.append(v)
+        term = (bshape(w[:, j]) * v) >> P
+        acc = term if acc is None else acc + term
+    out = _clamp_central(acc, vals, a, scale_lo=0)
+    return ((out >> P) & 0xFF).astype(jnp.uint8)
+
+
 def hls_upscale_xla(img: jnp.ndarray, ops: HLSOps) -> jnp.ndarray:
     """(..., H, W, C) uint8 → (..., OH, OW, C) uint8, HLS-path bit-exact."""
     cfg = ops.cfg
     a, P = cfg.a, cfg.bit_precision
-    taps = 2 * a
     h_axis, w_axis = img.ndim - 3, img.ndim - 2
-
-    def bshape(v, axis):
-        shape = [1] * img.ndim
-        shape[axis] = -1
-        return v.reshape(shape)
-
     x = img.astype(jnp.int32)
-
-    # vertical: exact P-frac accumulation (byte × P-frac weight)
-    vals = []
-    acc = None
-    for j in range(taps):
-        v = jnp.take(x, ops.v_eff[:, j], axis=h_axis) * bshape(
-            ops.v_valid[:, j], h_axis
-        )
-        vals.append(v)
-        term = bshape(ops.v_w[:, j], h_axis) * v
-        acc = term if acc is None else acc + term
-    mid = _clamp_central(acc, vals, a, scale_lo=P)  # num units 2^-P
-
-    # horizontal: per-MAC truncation of 2P-frac products to P frac
-    vals = []
-    acc = None
-    for j in range(taps):
-        v = jnp.take(mid, ops.h_eff[:, j], axis=w_axis) * bshape(
-            ops.h_valid[:, j], w_axis
-        )
-        vals.append(v)
-        term = (bshape(ops.h_w[:, j], w_axis) * v) >> P
-        acc = term if acc is None else acc + term
-    out = _clamp_central(acc, vals, a, scale_lo=0)
-    return ((out >> P) & 0xFF).astype(jnp.uint8)
+    mid = hls_vertical_pass(x, ops.v_eff, ops.v_w, ops.v_valid, a, P, h_axis)
+    return hls_horizontal_pass(
+        mid, ops.h_eff, ops.h_w, ops.h_valid, a, P, w_axis
+    )

@@ -88,10 +88,6 @@ class ShardedUpscaler:
         rows_axis: str = "rows",
         dtype=jnp.float32,
     ):
-        if cfg.precision == Precision.FIXED:
-            raise NotImplementedError(
-                "sharded HLS-faithful fixed point not implemented yet"
-            )
         if cfg.c_faithful:
             raise NotImplementedError("sharded c_faithful mode not supported")
         self.cfg = cfg
@@ -110,41 +106,93 @@ class ShardedUpscaler:
         n, d = cfg.scale_h
         # halo in input rows; covers upscale (d<=n: a) and downscale bands
         self.halo = -(-(cfg.a * d) // n) if n < d else cfg.a
-        self.ops = SeparableOps(cfg, dtype)
         self.dtype = dtype
-        # shift-FMA fast path (the default single-chip formulation) applies
-        # per shard when the phase pattern is shard-invariant: local output
-        # rows a multiple of N and local input rows a multiple of D
-        from lanczos_tpu.models.upscaler import _shift_eligible
-
-        self.use_shift = (
-            _shift_eligible(cfg)
-            and self.out_h_local % n == 0
-            and self.in_h_local % d == 0
-        )
-        if self.use_shift:
-            from lanczos_tpu.ops.resample_shift_xla import ShiftOps
-
-            self.shift = ShiftOps(cfg, dtype)
+        self.fixed = cfg.precision == Precision.FIXED
 
         spec_in = P(data_axis, rows_axis, None, None)
         spec_tbl = P(rows_axis, None)
+
+        def put_tbl(arr):
+            return jax.device_put(
+                jnp.asarray(arr), NamedSharding(mesh, spec_tbl)
+            )
+
+        if self.fixed:
+            from lanczos_tpu.ops.fixed_point import HLSOps
+
+            self.hls = HLSOps.build(cfg)
+            self._tables = (
+                put_tbl(self.hls.v_eff),
+                put_tbl(self.hls.v_w),
+                put_tbl(self.hls.v_valid),
+            )
+            shard_fn = self._shard_fn_fixed
+            tbl_specs = (spec_tbl,) * 3
+        else:
+            self.ops = SeparableOps(cfg, dtype)
+            # shift-FMA fast path (the default single-chip formulation)
+            # applies per shard when the phase pattern is shard-invariant:
+            # local output rows a multiple of N, local input rows of D
+            from lanczos_tpu.models.upscaler import _shift_eligible
+
+            self.use_shift = (
+                _shift_eligible(cfg)
+                and self.out_h_local % n == 0
+                and self.in_h_local % d == 0
+            )
+            if self.use_shift:
+                from lanczos_tpu.ops.resample_shift_xla import ShiftOps
+
+                self.shift = ShiftOps(cfg, dtype)
+            self._tables = (
+                put_tbl(self.ops.op_v.idx),
+                put_tbl(np.asarray(self.ops.op_v.weights, self._np_dtype())),
+            )
+            shard_fn = self._shard_fn
+            tbl_specs = (spec_tbl,) * 2
+
         self._fn = jax.jit(
             jax.shard_map(
-                self._shard_fn,
+                shard_fn,
                 mesh=mesh,
-                in_specs=(spec_in, spec_tbl, spec_tbl),
+                in_specs=(spec_in,) + tbl_specs,
                 out_specs=spec_in,
             )
         )
-        # the row-sharded gather/weight tables (global indices)
-        self.idx_v = jax.device_put(
-            jnp.asarray(self.ops.op_v.idx),
-            NamedSharding(mesh, spec_tbl),
+
+    def _np_dtype(self):
+        return np.dtype(jnp.dtype(self.dtype).name)
+
+    def _shard_fn_fixed(self, x, v_eff, v_w, v_valid):
+        """HLS-faithful fixed-point path, row-sharded.
+
+        The flattened stream schedule's gather indices are global and
+        already encode the zero-pre-roll (valid mask) and bottom-replicate
+        edge behavior, so the same rebase-into-halo trick as the float
+        gather path applies verbatim — edge shards never read their
+        (invalid, wrap-around) halo rows.
+        """
+        cfg = self.cfg
+        from lanczos_tpu.ops.fixed_point import (
+            hls_horizontal_pass,
+            hls_vertical_pass,
         )
-        self.w_v = jax.device_put(
-            jnp.asarray(self.ops.op_v.weights, dtype),
-            NamedSharding(mesh, spec_tbl),
+
+        r = jax.lax.axis_index(self.rows_axis)
+        ext = halo_exchange_rows(x, self.halo, self.rows_axis, axis=1)
+        local_eff = v_eff - (r * self.in_h_local - self.halo)
+        a, Pb = cfg.a, cfg.bit_precision
+        mid = hls_vertical_pass(
+            ext.astype(jnp.int32), local_eff, v_w, v_valid, a, Pb, axis=1
+        )
+        return hls_horizontal_pass(
+            mid,
+            jnp.asarray(self.hls.h_eff),
+            jnp.asarray(self.hls.h_w),
+            jnp.asarray(self.hls.h_valid),
+            a,
+            Pb,
+            axis=2,
         )
 
     def _edge_pad_rows(self, v, s: int, top: bool):
@@ -239,4 +287,4 @@ class ShardedUpscaler:
             img,
             NamedSharding(self.mesh, P(self.data_axis, self.rows_axis, None, None)),
         )
-        return self._fn(img, self.idx_v, self.w_v)
+        return self._fn(img, *self._tables)

@@ -84,6 +84,21 @@ def test_sharded_width_first_quantized(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_sharded_fixed_point_hls(rng):
+    """HLS-faithful fixed-point path sharded over rows: bit-exact vs the
+    single-chip fixed path AND vs the literal stream simulator."""
+    from lanczos_tpu.ref.hls_sim import hls_stream_upscale
+
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(Profile.HLS, (32, 16), scale=(2, 1), a=2)
+    img = _img(rng, 1, 32, 16)
+    single = np.asarray(Upscaler(cfg)(img[0]))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))[0]
+    np.testing.assert_array_equal(out, single)
+    sim = hls_stream_upscale(img[0], 64, 32, a=2, bit_precision=cfg.bit_precision)
+    np.testing.assert_array_equal(out, sim)
+
+
 def test_choose_mesh_shape():
     for n in (1, 2, 4, 8, 16):
         d, r = choose_mesh_shape(n)
