@@ -47,6 +47,12 @@ def _shift_eligible(cfg: ResampleConfig) -> bool:
         # drop-edge + normalization renormalizes over the surviving taps
         # per row — not expressible as padding + phase-uniform weights
         return False
+    from lanczos_tpu.core.config import Order
+
+    if cfg.order == Order.WIDTH_FIRST and cfg.dering:
+        # the shift path is height-first; with the (nonlinear) dering
+        # clamp the pass order is observable — keep the gather path
+        return False
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
     if nv > MAX_PHASES or nh > MAX_PHASES:
         return False

@@ -89,11 +89,35 @@ def c_oracle_upscale(img: np.ndarray, out_h: int, out_w: int, a: int = 2) -> np.
 
     # -- height pass, in place, xx from out_h-1 down to 0 (full_TB.h:67-77)
     idx, w = _oracle_weights(out_h, in_h, a)
+    lib = _oracle_native()
+    if lib is not None:
+        buf = np.ascontiguousarray(buf)
+        idx_c = np.ascontiguousarray(idx, np.int32)
+        w_c = np.ascontiguousarray(w, np.float64)
+        lib.oracle_height_pass(
+            buf.ctypes.data_as(lib.u8p),
+            out_h,
+            buf.shape[1] * buf.shape[2],
+            idx_c.ctypes.data_as(lib.i32p),
+            w_c.ctypes.data_as(lib.f64p),
+            w.shape[1],
+        )
+        return buf
     for xx in range(out_h - 1, -1, -1):
-        taps = buf[idx[xx]].astype(np.float64)  # (2a, out_w, c) — current buffer
-        s = np.einsum("j,jwc->wc", w[xx], taps)
-        buf[xx] = _double_to_uint8(s)
+        # explicit ascending tap accumulation: the exact summation order of
+        # the reference C loop (full_TB.h:73-75); einsum/BLAS order is
+        # implementation-defined and must not be used here
+        acc = np.zeros(buf.shape[1:], np.float64)
+        for j in range(w.shape[1]):
+            acc += w[xx, j] * buf[idx[xx, j]].astype(np.float64)
+        buf[xx] = _double_to_uint8(acc)
     return buf
+
+
+def _oracle_native():
+    from lanczos_tpu.ref._native import native_lib
+
+    return native_lib()
 
 
 def clean_resample_2d(img: np.ndarray, cfg: ResampleConfig) -> np.ndarray:
