@@ -74,7 +74,28 @@ class StreamingUpscaler:
             spans.append((int(lo[y0:y1].min()), int(hi[y0:y1].max()) + 1))
         self.spans = spans
         self.win = max(b - a for a, b in spans)
-        self._fn = jax.jit(self._chunk_fn)
+        # shift-FMA chunk path (the fast device formulation): needs the
+        # phase pattern chunk-invariant and height-first linear semantics
+        from lanczos_tpu.models.upscaler import _shift_eligible
+
+        ih = cfg.in_shape[0]
+        self.use_shift = (
+            _shift_eligible(cfg)
+            and self.chunk % n == 0
+            and cfg.order == Order.HEIGHT_FIRST
+            and ih % d == 0
+        )
+        if self.use_shift:
+            from lanczos_tpu.ops.resample_shift_xla import ShiftOps
+
+            self.shift = ShiftOps(cfg, dtype)
+            m = self.chunk // n
+            self.win = m * d + 2 * self.shift.sup_v
+            # unpadded input row origin of chunk k: k·m·d − sup_v
+            self.w0_step = m * d
+            self._fn = jax.jit(self._chunk_fn_shift)
+        else:
+            self._fn = jax.jit(self._chunk_fn)
 
     def _chunk_fn(self, rows, idx_v, w_v):
         """rows: (win, W, C) input window; idx_v rebased to the window."""
@@ -92,6 +113,19 @@ class StreamingUpscaler:
             out = apply_banded(x, self.idx_h, self.w_h, 1, cfg.a, cfg.dering)
         return quantize_uint8(out)
 
+    def _chunk_fn_shift(self, rows):
+        """rows: (win, W, C) window already carrying the vertical support
+        pad (real neighbor rows interiorly, edge-mode rows at frame ends)."""
+        from lanczos_tpu.ops.resample_shift_xla import _axis_shift_pass
+
+        cfg = self.cfg
+        sh = self.shift
+        x = rows.astype(self.dtype)
+        x = _axis_shift_pass(x, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 0, cfg.dering)
+        x = jnp.pad(x, [(0, 0), (sh.sup_h, sh.sup_h), (0, 0)], mode=sh.pad_mode)
+        x = _axis_shift_pass(x, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 1, cfg.dering)
+        return quantize_uint8(x)
+
     def chunks(
         self,
         get_rows: Callable[[int, int], np.ndarray],
@@ -103,8 +137,29 @@ class StreamingUpscaler:
         (hi-lo, W, C) uint8 — from RAM, disk, or a decoder.
         """
         oh = self.cfg.out_shape[0]
+        ih = self.cfg.in_shape[0]
         for k in range(start_chunk, self.n_chunks):
             y0, y1 = k * self.chunk, min((k + 1) * self.chunk, oh)
+            if self.use_shift:
+                s = self.shift.sup_v
+                w0 = k * self.w0_step - s  # unpadded origin (may be < 0)
+                w1 = w0 + self.win
+                lo2, hi2 = max(w0, 0), min(w1, ih)
+                rows = np.asarray(get_rows(lo2, hi2))
+                top, bot = lo2 - w0, w1 - hi2
+                if top or bot:
+                    mode = {
+                        "edge": "edge", "constant": "constant",
+                        "reflect": "reflect",
+                    }[self.shift.pad_mode]
+                    rows = np.pad(
+                        rows,
+                        [(top, bot)] + [(0, 0)] * (rows.ndim - 1),
+                        mode=mode,
+                    )
+                out = self._fn(jnp.asarray(rows))
+                yield y0, np.asarray(out)[: y1 - y0]
+                continue
             lo, hi = self.spans[k]
             hi_pad = lo + self.win  # uniform window: pad by repeating last row
             rows = get_rows(lo, min(hi_pad, self.cfg.in_shape[0]))

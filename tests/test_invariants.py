@@ -1,0 +1,63 @@
+"""Structural invariants of the resampling operators (all backends).
+
+Cheap properties that catch whole classes of index/weight bugs:
+constant preservation, flip equivariance, partition of unity.
+"""
+
+import numpy as np
+import pytest
+
+from lanczos_tpu.core.config import EdgeMode, Profile, ResampleConfig
+from lanczos_tpu.core.weights import banded_weights
+from lanczos_tpu.models.upscaler import Upscaler
+
+BACKENDS = ("xla", "shift_xla", "pallas")
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_constant_image_preserved(backend):
+    """Normalized weights + clamp edges must reproduce a constant exactly."""
+    img = np.full((24, 20, 3), 137, np.uint8)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (24, 20), scale=(2, 1), a=3)
+    out = np.asarray(Upscaler(cfg, backend=backend)(img))
+    np.testing.assert_array_equal(out, np.full((48, 40, 3), 137, np.uint8))
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_flip_equivariance(rng, backend):
+    """Vertical flip commutes with resampling (symmetric kernel + edges)."""
+    img = rng.integers(0, 256, size=(24, 20, 3), dtype=np.uint8)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (24, 20), scale=(2, 1), a=2)
+    m = Upscaler(cfg, backend=backend)
+    a_ = np.asarray(m(img[::-1].copy()))
+    b_ = np.asarray(m(img))[::-1]
+    # float summation order differs between the two orientations → ≤1 ULP
+    assert np.abs(a_.astype(int) - b_.astype(int)).max() <= 1
+
+
+def test_partition_of_unity():
+    """Normalized banded weights sum to 1 per output position."""
+    for scale in [(2, 1), (3, 2), (7, 3), (1, 2)]:
+        n, d = scale
+        op = banded_weights(24 * d, 24 * n, 3, "lanczos", EdgeMode.CLAMP, True)
+        np.testing.assert_allclose(op.weights.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_identity_scale():
+    """Scale 1/1 with normalized weights is the identity."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (16, 16), scale=(1, 1), a=3)
+    out = np.asarray(Upscaler(cfg, backend="xla")(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_channel_independence(rng):
+    """Channels resample independently."""
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (16, 12), scale=(2, 1), a=2)
+    m = Upscaler(cfg, backend="xla")
+    full = np.asarray(m(img))
+    for c in range(3):
+        mono = np.repeat(img[..., c : c + 1], 3, axis=-1)
+        np.testing.assert_array_equal(np.asarray(m(mono))[..., 0], full[..., c])
