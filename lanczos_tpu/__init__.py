@@ -27,4 +27,6 @@ from lanczos_tpu.core.config import (  # noqa: F401
     Profile,
     ResampleConfig,
 )
+from lanczos_tpu.models.streaming import StreamingUpscaler  # noqa: F401
 from lanczos_tpu.models.upscaler import Upscaler, upscale  # noqa: F401
+from lanczos_tpu.models.video import VideoUpscaler  # noqa: F401
