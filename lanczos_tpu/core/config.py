@@ -45,6 +45,22 @@ class Order(str, enum.Enum):
     HEIGHT_FIRST = "height_first"
 
 
+class Align(str, enum.Enum):
+    """Sample-grid alignment convention.
+
+    - ``ZERO``: output position y samples input coordinate ``y·D/N``
+      (sample-0 aligned) — the reference's convention (``full_TB.h:57``).
+      Asymmetric under image reversal.
+    - ``CENTER``: half-pixel-center convention ``(y+½)·D/N − ½`` — what
+      PIL/OpenCV/FSR use; flip-symmetric.  The rational-phase structure
+      is preserved (y→y+N shifts the coordinate by exactly D), so every
+      fast path applies.
+    """
+
+    ZERO = "zero"
+    CENTER = "center"
+
+
 class Precision(str, enum.Enum):
     """Accumulation dtype policy.
 
@@ -114,6 +130,7 @@ class ResampleConfig:
     c_faithful: bool = False  # emulate in-place col-pass quirk (full_TB.h:67-77)
     bit_precision: int = 8  # fractional bits for FIXED (lanczos.h BIT_PRECISION)
     channels: int = 3
+    align: Align = Align.ZERO  # reference convention by default
 
     @property
     def scale_h(self) -> Tuple[int, int]:
@@ -138,6 +155,21 @@ class ResampleConfig:
         return 2 * self.a
 
     def __post_init__(self):
+        # coerce string values into the enums (frozen dataclass)
+        for name, enum_t in (
+            ("edge_mode", EdgeMode),
+            ("order", Order),
+            ("precision", Precision),
+            ("align", Align),
+        ):
+            object.__setattr__(self, name, enum_t(getattr(self, name)))
+        if self.align == Align.CENTER and (
+            self.precision == Precision.FIXED or self.c_faithful
+        ):
+            raise ValueError(
+                "center alignment applies to the framework's own float "
+                "modes; the reference-parity paths are zero-aligned"
+            )
         if self.a < 1:
             raise ValueError(f"support radius a must be >= 1, got {self.a}")
         if self.bit_precision < 1 or self.bit_precision > 14:

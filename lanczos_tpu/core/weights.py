@@ -91,19 +91,22 @@ def banded_weights(
     normalize: bool = True,
     antialias: bool = True,
     coord_mode: str = "exact",
+    align: str = "zero",
 ) -> BandedOperator:
     """Build the banded operator for one axis.
 
-    Output position ``y`` maps to input coordinate ``x = y·D/N`` (the
-    reference's sample-0-aligned convention, ``full_TB.h:57``), taps at
-    integers ``i ∈ [⌊x⌋−a+1, ⌊x⌋+a]``, weight ``L(x − i)``.
+    Output position ``y`` maps to input coordinate ``x = y·D/N``
+    (``align="zero"``, the reference's sample-0-aligned convention,
+    ``full_TB.h:57``) or ``x = (y+½)·D/N − ½`` (``align="center"``, the
+    half-pixel convention of PIL/OpenCV/FSR); taps at integers
+    ``i ∈ [⌊x⌋−a+1, ⌊x⌋+a]``, weight ``L(x − i)``.
 
     ``coord_mode``:
     - ``"exact"``: ⌊x⌋ computed in exact integer arithmetic (default).
     - ``"c_double"``: ⌊x⌋ and t computed through the same IEEE double
       divisions the reference C oracle performs (``x = xx / (N/D)``,
       ``full_TB.h:57``) — required for bit-parity with it, since the double
-      quotient can floor differently at integral points.
+      quotient can floor differently at integral points.  zero-align only.
 
     For downscaling (N < D) with ``antialias=True`` the kernel is stretched
     by D/N (support a·D/N) — the standard high-quality convention; the
@@ -117,15 +120,18 @@ def banded_weights(
         support = int(np.ceil(a * d / n))
     else:
         support = a
+    off = 0 if align == "zero" else d - n  # x = (2yd + off) / (2n)
     y = np.arange(out_size, dtype=np.int64)
     if coord_mode == "c_double":
         if downscale:
             raise ValueError("c_double coord mode is upscale-only")
+        if align != "zero":
+            raise ValueError("c_double coord mode is zero-align only")
         x = y.astype(np.float64) / (float(n) / float(d))  # full_TB.h:57
         fl = np.floor(x).astype(np.int64)
     elif coord_mode == "exact":
         x = None
-        fl = (y * d) // n
+        fl = (2 * y * d + off) // (2 * n)
     else:
         raise ValueError(f"unknown coord_mode {coord_mode!r}")
     base = (fl - support + 1).astype(np.int64)
@@ -134,13 +140,13 @@ def banded_weights(
     if coord_mode == "c_double":
         t = x[:, None] - idx.astype(np.float64)
     else:
-        # t = x − i = (y·d − i·n) / n, exact integer numerator
-        t_num = y[:, None] * d - idx * n
+        # t = x − i = (2yd + off − 2in) / 2n, exact integer numerator
+        t_num = 2 * y[:, None] * d + off - 2 * idx * n
         if downscale:
             # stretched kernel: L(t·n/d), support a·d/n
-            t = t_num.astype(np.float64) / d
+            t = t_num.astype(np.float64) / (2 * d)
         else:
-            t = t_num.astype(np.float64) / n
+            t = t_num.astype(np.float64) / (2 * n)
     w = filt(t, a)
     idx32, w = _resolve_edges(idx, w, in_size, edge_mode)
     if normalize:

@@ -56,10 +56,12 @@ class StreamingUpscaler:
         self.op_v = banded_weights(
             cfg.in_shape[0], cfg.out_shape[0], cfg.a, cfg.filter,
             cfg.edge_mode, cfg.normalize, coord_mode=coord,
+            align=cfg.align.value,
         )
         self.op_h = banded_weights(
             cfg.in_shape[1], cfg.out_shape[1], cfg.a, cfg.filter,
             cfg.edge_mode, cfg.normalize, coord_mode=coord,
+            align=cfg.align.value,
         )
         self.idx_h = jnp.asarray(self.op_h.idx)
         self.w_h = jnp.asarray(self.op_h.weights, dtype)
@@ -121,9 +123,13 @@ class StreamingUpscaler:
         cfg = self.cfg
         sh = self.shift
         x = rows.astype(self.dtype)
-        x = _axis_shift_pass(x, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 0, cfg.dering)
+        x = _axis_shift_pass(
+            x, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 0, cfg.dering, sh.off_v
+        )
         x = jnp.pad(x, [(0, 0), (sh.sup_h, sh.sup_h), (0, 0)], mode=sh.pad_mode)
-        x = _axis_shift_pass(x, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 1, cfg.dering)
+        x = _axis_shift_pass(
+            x, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 1, cfg.dering, sh.off_h
+        )
         return quantize_uint8(x)
 
     def chunks(

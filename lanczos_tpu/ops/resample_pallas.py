@@ -46,17 +46,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _phase_table(
-    n: int, d: int, a: int, support: int, filter_name: str, normalize: bool
+    n: int, d: int, a: int, support: int, filter_name: str, normalize: bool,
+    align: str = "zero",
 ) -> np.ndarray:
     """(N, 2·support) float64 per-phase tap weights (kernel.cpp:50-59's
-    phase-LUT, generalized)."""
+    phase-LUT, generalized to both grid alignments)."""
     filt = get_filter(filter_name)
+    off = 0 if align == "zero" else d - n  # x = (2pd + off) / (2n)
     tbl = np.zeros((n, 2 * support), dtype=np.float64)
     for p in range(n):
-        fl = (p * d) // n
+        fl = (2 * p * d + off) // (2 * n)
         for j in range(2 * support):
             i_orig = fl - support + 1 + j
-            t = (p * d - i_orig * n) / n
+            t = (2 * p * d + off - 2 * i_orig * n) / (2 * n)
             if support > a:
                 tbl[p, j] = float(filt(np.array([t * n / d]), a)[0])
             else:
@@ -78,6 +80,7 @@ def _phase_band_matrix(
     normalize: bool,
     k_pad: int,
     transpose: bool,
+    align: str = "zero",
 ) -> np.ndarray:
     """Dense (out_tile, k_pad) banded weight matrix for one axis tile.
 
@@ -87,10 +90,11 @@ def _phase_band_matrix(
     Requires ``out_tile % n == 0`` so the pattern is tile-invariant.
     """
     assert out_tile % n == 0
-    tbl = _phase_table(n, d, a, support, filter_name, normalize)
+    tbl = _phase_table(n, d, a, support, filter_name, normalize, align)
+    off = 0 if align == "zero" else d - n
     W = np.zeros((out_tile, k_pad), dtype=np.float64)
     for y in range(out_tile):
-        fl = (y * d) // n
+        fl = (2 * y * d + off) // (2 * n)
         W[y, fl + 1 : fl + 1 + 2 * support] = tbl[y % n]
     return W.T.copy() if transpose else W
 
@@ -171,6 +175,9 @@ class PallasOps:
         # remains for rational scales (D > 1) and huge N.
         self.v_shift = self.pv.d == 1 and self.pv.n <= 16
         self.h_shift = self.ph.d == 1 and self.ph.n <= 16
+        al = cfg.align.value
+        self.off_v = 0 if al == "zero" else self.pv.d - self.pv.n
+        self.off_h = 0 if al == "zero" else self.ph.d - self.ph.n
         if cfg.dering and not (self.v_shift and self.h_shift):
             raise NotImplementedError(
                 "dering in the fused Pallas path requires integer upscale "
@@ -178,11 +185,11 @@ class PallasOps:
             )
         self.tbl_v = _phase_table(
             self.pv.n, self.pv.d, cfg.a, self.pv.support, cfg.filter,
-            cfg.normalize,
+            cfg.normalize, cfg.align.value,
         ).astype(np.float32)
         self.tbl_h = _phase_table(
             self.ph.n, self.ph.d, cfg.a, self.ph.support, cfg.filter,
-            cfg.normalize,
+            cfg.normalize, cfg.align.value,
         ).astype(np.float32)
         if self.v_shift:  # weights are baked into the kernel as constants
             wv = np.zeros((8, 128), dtype=np.float64)
@@ -190,6 +197,7 @@ class PallasOps:
             wv = _phase_band_matrix(
                 self.pv.tile_out, self.pv.n, self.pv.d, cfg.a, self.pv.support,
                 cfg.filter, cfg.normalize, self.pv.k_pad, transpose=False,
+                align=cfg.align.value,
             )
         if self.h_shift:
             wh = np.zeros((8, 128), dtype=np.float64)
@@ -197,6 +205,7 @@ class PallasOps:
             wh = _phase_band_matrix(
                 self.ph.tile_out, self.ph.n, self.ph.d, cfg.a, self.ph.support,
                 cfg.filter, cfg.normalize, self.ph.k_pad, transpose=True,
+                align=cfg.align.value,
             )
         self.wv_hi = jnp.asarray(wv, jnp.bfloat16)
         self.wh_hi = jnp.asarray(wh, jnp.bfloat16)
@@ -229,7 +238,7 @@ class PallasOps:
         return x
 
 
-def _shift_pass(x, plan, tbl, dering: bool = False):
+def _shift_pass(x, plan, tbl, dering: bool = False, off: int = 0):
     """Shift-FMA 1-D resample along axis 0 (sublanes), D == 1.
 
     Each phase plane is Σ_t w[p,t]·x[1+t : 1+t+m] (unit-stride shifted
@@ -245,21 +254,31 @@ def _shift_pass(x, plan, tbl, dering: bool = False):
     m = plan.stride_in
     s = plan.support
     taps = 2 * s
-    # With D == 1 every phase reads the SAME tap slices (x[1+t : 1+t+m]),
-    # only the scalar weights differ — extract each slice once and reuse
-    # across phases (halves VMEM read traffic for N=2).
-    slices = [x[1 + t : 1 + t + m, :] for t in range(taps)]
-    if dering:
-        lo = jnp.minimum(slices[s - 1], slices[s])
-        hi = jnp.maximum(slices[s - 1], slices[s])
+    # With D == 1 phases share tap slices whenever their coordinate floors
+    # coincide (always true for zero-align; center-align phases differ by
+    # at most one row) — cache slices by start offset so shared ones are
+    # extracted once (halves VMEM read traffic for N=2 zero-align).
+    cache = {}
+
+    def sl(start):
+        if start not in cache:
+            cache[start] = x[start : start + m, :]
+        return cache[start]
+
     accs = []
     for p in range(plan.n):
+        fp = (2 * p * plan.d + off) // (2 * plan.n)
+        slices = [sl(fp + 1 + t) for t in range(taps)]
         acc = None
         for t in range(taps):
             term = float(tbl[p, t]) * slices[t]
             acc = term if acc is None else acc + term
         if dering:
-            acc = jnp.clip(acc, lo, hi)
+            acc = jnp.clip(
+                acc,
+                jnp.minimum(slices[s - 1], slices[s]),
+                jnp.maximum(slices[s - 1], slices[s]),
+            )
         accs.append(acc)
     if plan.n == 1:
         return accs[0]
@@ -321,7 +340,9 @@ def _fused_kernel(
 
     # ---- vertical pass ----
     if ops.v_shift:
-        tmp = _shift_pass(xi.astype(jnp.float32), pv, ops.tbl_v, ops.cfg.dering)
+        tmp = _shift_pass(
+            xi.astype(jnp.float32), pv, ops.tbl_v, ops.cfg.dering, ops.off_v
+        )
     else:
         x = xi.astype(jnp.bfloat16)  # exact for 0..255
         if ops.split:
@@ -336,7 +357,7 @@ def _fused_kernel(
         # pathological search (observed compile hang); a ref store/load
         # forces a canonical layout first.
         mid[...] = tmp.astype(jnp.float32)
-        y = _shift_pass(mid[...].T, ph, ops.tbl_h, ops.cfg.dering).T
+        y = _shift_pass(mid[...].T, ph, ops.tbl_h, ops.cfg.dering, ops.off_h).T
     elif ops.split:
         t_hi = tmp.astype(jnp.bfloat16)
         t_lo = (tmp - t_hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -32,8 +32,12 @@ from lanczos_tpu.ops.resample_pallas import _PAD_MODE, _phase_table
 MAX_PHASES = 32  # beyond this the unrolled slice-FMA graph stops paying off
 
 
-def _axis_shift_pass(x, n, d, support, tbl, axis, dering):
-    """1-D shift-FMA pass along ``axis`` of support-padded x (float)."""
+def _axis_shift_pass(x, n, d, support, tbl, axis, dering, off=0):
+    """1-D shift-FMA pass along ``axis`` of support-padded x (float).
+
+    ``off`` is the grid-alignment numerator offset: the output coordinate
+    is (2·y·d + off) / (2·n) — 0 for zero-align, d−n for center-align.
+    """
     size = x.shape[axis]
     m = (size - 2 * support) // d  # output positions per phase
     taps = 2 * support
@@ -45,7 +49,7 @@ def _axis_shift_pass(x, n, d, support, tbl, axis, dering):
 
     phases = []
     for p in range(n):
-        fp = (p * d) // n
+        fp = (2 * p * d + off) // (2 * n)
         slices = [sl(fp + 1 + t) for t in range(taps)]
         acc = None
         for t in range(taps):
@@ -90,8 +94,15 @@ class ShiftOps:
         self.nh, self.dh = nh, dh
         self.sup_v = cfg.a if nv >= dv else -(-(cfg.a * dv) // nv)
         self.sup_h = cfg.a if nh >= dh else -(-(cfg.a * dh) // nh)
-        self.tbl_v = _phase_table(nv, dv, cfg.a, self.sup_v, cfg.filter, cfg.normalize)
-        self.tbl_h = _phase_table(nh, dh, cfg.a, self.sup_h, cfg.filter, cfg.normalize)
+        al = cfg.align.value
+        self.tbl_v = _phase_table(
+            nv, dv, cfg.a, self.sup_v, cfg.filter, cfg.normalize, al
+        )
+        self.tbl_h = _phase_table(
+            nh, dh, cfg.a, self.sup_h, cfg.filter, cfg.normalize, al
+        )
+        self.off_v = 0 if al == "zero" else dv - nv
+        self.off_h = 0 if al == "zero" else dh - nh
         self.pad_mode = _PAD_MODE[cfg.edge_mode]
 
 
@@ -116,11 +127,13 @@ def resample_2d_shift_xla(
     ]
     x = jnp.pad(x, pad, mode=ops.pad_mode)
     x = _axis_shift_pass(
-        x, ops.nv, ops.dv, ops.sup_v, ops.tbl_v, x.ndim - 2, cfg.dering
+        x, ops.nv, ops.dv, ops.sup_v, ops.tbl_v, x.ndim - 2, cfg.dering,
+        ops.off_v,
     )
     # width axis still carries the horizontal padding; height is done
     x = _axis_shift_pass(
-        x, ops.nh, ops.dh, ops.sup_h, ops.tbl_h, x.ndim - 1, cfg.dering
+        x, ops.nh, ops.dh, ops.sup_h, ops.tbl_h, x.ndim - 1, cfg.dering,
+        ops.off_h,
     )
     if was_int:
         x = jnp.trunc(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)

@@ -72,10 +72,12 @@ class SeparableOps:
         self.op_v: BandedOperator = banded_weights(
             cfg.in_shape[0], cfg.out_shape[0], cfg.a, cfg.filter,
             cfg.edge_mode, cfg.normalize, coord_mode=coord,
+            align=cfg.align.value,
         )
         self.op_h: BandedOperator = banded_weights(
             cfg.in_shape[1], cfg.out_shape[1], cfg.a, cfg.filter,
             cfg.edge_mode, cfg.normalize, coord_mode=coord,
+            align=cfg.align.value,
         )
         self.idx_v = jnp.asarray(self.op_v.idx)
         self.w_v = jnp.asarray(self.op_v.weights, dtype)

@@ -242,7 +242,8 @@ class ShardedUpscaler:
             ext = jnp.concatenate([top, ext[:, s:-s], bot], axis=1)
             sh = self.shift
             return _axis_shift_pass(
-                ext, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 1, cfg.dering
+                ext, sh.nv, sh.dv, sh.sup_v, sh.tbl_v, 1, cfg.dering,
+                sh.off_v,
             )
 
         def hpass_shift(v):
@@ -259,7 +260,8 @@ class ShardedUpscaler:
                     mode="edge" if cfg.edge_mode == EdgeMode.CLAMP else "reflect",
                 )
             return _axis_shift_pass(
-                ext, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 2, cfg.dering
+                ext, sh.nh, sh.dh, sh.sup_h, sh.tbl_h, 2, cfg.dering,
+                sh.off_h,
             )
 
         def hpass_gather(v):
