@@ -74,7 +74,7 @@ def main():
     cases = [
         ("256x256->512x512_a2", (256, 256), (512, 512), 2, None),
         ("1080p->4K_a3", (1080, 1920), (2160, 3840), 3, None),
-        ("batch8_1080p->4K_a3", (1080, 1920), (2160, 3840), 3, 8),
+        ("batch32_1080p->4K_a3", (1080, 1920), (2160, 3840), 3, 32),
         ("4K->8K_a3", (2160, 3840), (4320, 7680), 3, None),
     ]
     for name, ins, outs, a, batch in cases:

@@ -52,6 +52,8 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "shift_xla", "xla", "pallas", "ref"])
     p.add_argument("--filter", default="lanczos")
+    p.add_argument("--align", default="zero", choices=["zero", "center"],
+                   help="grid alignment: zero (reference) or center (PIL-style)")
     p.add_argument("--expected", action="store_true",
                    help="also write the software-oracle output PNG")
     p.add_argument("--no-psnr", action="store_true",
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
     cfg = ResampleConfig.from_profile(
         Profile(args.profile), (h, w),
         out_shape=args.out_size, scale=args.scale,
-        a=args.a, filter=args.filter,
+        a=args.a, filter=args.filter, align=args.align,
     )
     oh, ow = cfg.out_shape
 

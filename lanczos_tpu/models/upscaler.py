@@ -43,9 +43,11 @@ def _shift_eligible(cfg: ResampleConfig) -> bool:
         return False
     if cfg.intermediate_quantize:
         return False
-    if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+    if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
         # drop-edge + normalization renormalizes over the surviving taps
-        # per row — not expressible as padding + phase-uniform weights
+        # per row, and drop-edge dering clamps against edge-clamped tap
+        # VALUES — neither is expressible as zero padding + phase-uniform
+        # weights
         return False
     from lanczos_tpu.core.config import Order
 

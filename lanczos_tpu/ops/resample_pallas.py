@@ -149,10 +149,10 @@ class PallasOps:
         # the shift-FMA variant on both axes)
         if cfg.c_faithful:
             raise NotImplementedError("c_faithful is XLA/ref-backend only")
-        if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+        if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
             raise NotImplementedError(
-                "drop-edge + per-row normalization renormalizes over the "
-                "surviving taps; use the gather (xla) backend"
+                "drop-edge with normalization or dering is gather-path "
+                "only (zero padding cannot reproduce either)"
             )
         self.cfg = cfg
         self.interpret = interpret

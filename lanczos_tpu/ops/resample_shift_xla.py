@@ -74,9 +74,10 @@ class ShiftOps:
     def __init__(self, cfg: ResampleConfig, dtype=jnp.float32):
         if cfg.precision == Precision.FIXED or cfg.c_faithful:
             raise NotImplementedError("shift path covers the float modes")
-        if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+        if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
             raise NotImplementedError(
-                "drop-edge + per-row normalization needs the gather path"
+                "drop-edge with normalization or dering needs the gather "
+                "path (zero padding cannot reproduce either)"
             )
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
         nv, dv = cfg.scale_h

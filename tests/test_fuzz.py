@@ -1,0 +1,51 @@
+"""Seeded config fuzz: all backends agree on random configurations.
+
+Each case draws (dims, scale, a, edge mode, alignment, dering, filter)
+from a seeded RNG and checks every applicable backend against the gather
+reference within 1 uint8 ULP — a safety net across the config-space
+corners no targeted test hits.
+"""
+
+import numpy as np
+import pytest
+
+from lanczos_tpu.core.config import EdgeMode, Profile, ResampleConfig
+from lanczos_tpu.models.upscaler import Upscaler
+
+SCALES = [(2, 1), (3, 1), (4, 1), (3, 2), (5, 4), (5, 2), (1, 2), (2, 3), (7, 3)]
+EDGES = [EdgeMode.CLAMP, EdgeMode.DROP, EdgeMode.REFLECT]
+FILTERS = ["lanczos", "mitchell", "catmull_rom", "triangle"]
+
+
+def _random_cfg(rng):
+    n, d = SCALES[rng.integers(len(SCALES))]
+    h = int(rng.integers(2, 7)) * d * 2
+    w = int(rng.integers(2, 7)) * d * 2
+    a = int(rng.integers(2, 4))
+    edge = EDGES[rng.integers(len(EDGES))]
+    align = "center" if rng.integers(2) else "zero"
+    dering = bool(rng.integers(2)) and n >= d
+    filt = FILTERS[rng.integers(len(FILTERS))]
+    return ResampleConfig.from_profile(
+        Profile.PRECISE, (h, w), scale=(n, d), a=a, edge_mode=edge,
+        align=align, dering=dering, filter=filt,
+        normalize=edge != EdgeMode.DROP,
+    )
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_backends_agree_random_config(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cfg = _random_cfg(rng)
+    img = rng.integers(0, 256, size=(*cfg.in_shape, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    assert ref.shape == (*cfg.out_shape, 3)
+    for b in ("shift_xla", "pallas"):
+        try:
+            out = np.asarray(Upscaler(cfg, backend=b)(img))
+        except (NotImplementedError, ValueError):
+            continue  # backend legitimately rejects this config
+        diff = np.abs(ref.astype(int) - out.astype(int))
+        assert diff.max() <= 1, (
+            f"seed {seed} backend {b} cfg {cfg}: max diff {diff.max()}"
+        )
