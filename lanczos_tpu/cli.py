@@ -89,6 +89,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     out = np.asarray(model(img))
     dt = time.perf_counter() - t0
+    if out.dtype != np.uint8:  # ref backend may return float
+        out = np.trunc(np.clip(out, 0, 255)).astype(np.uint8)
 
     n, d = cfg.scale_h
     tag = f"{w}x{h}-{ow}x{oh}_{n}|{d}_{args.a}-"  # full_TB.h:170 pattern
@@ -116,12 +118,12 @@ def main(argv=None) -> int:
     if args.bench > 0:
         import jax
 
-        x = jax.device_put(img)
-        model(x).block_until_ready()
+        x = jax.device_put(img) if args.backend != "ref" else img
+        jax.block_until_ready(model(x))
         t0 = time.perf_counter()
         for _ in range(args.bench):
             y = model(x)
-        y.block_until_ready()
+        jax.block_until_ready(y)
         per = (time.perf_counter() - t0) / args.bench
         print(f"bench: {per*1e3:.2f} ms/frame  {oh*ow/1e6/per:.1f} Mpix/s")
     return 0

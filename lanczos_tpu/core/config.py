@@ -172,8 +172,10 @@ class ResampleConfig:
             )
         if self.a < 1:
             raise ValueError(f"support radius a must be >= 1, got {self.a}")
-        if self.bit_precision < 1 or self.bit_precision > 14:
-            raise ValueError("bit_precision must be in [1, 14]")
+        if self.bit_precision < 1 or self.bit_precision > 11:
+            # the vectorized fixed path accumulates 2P-frac horizontal
+            # products in int32: 255·2^(2P) must stay below 2^31 → P ≤ 11
+            raise ValueError("bit_precision must be in [1, 11]")
         for name in ("in_shape", "out_shape"):
             shp = getattr(self, name)
             if len(shp) != 2 or any(s < 1 for s in shp):

@@ -163,6 +163,43 @@ def banded_weights(
     )
 
 
+def phase_table(
+    n: int,
+    d: int,
+    a: int,
+    support: int,
+    filter_name: str = "lanczos",
+    normalize: bool = True,
+    align: str = "zero",
+) -> np.ndarray:
+    """(N, 2·support) float64 per-phase tap weights — the canonical
+    builder behind every fast path (kernel.cpp:50-59's phase-LUT,
+    generalized to both grid alignments and stretched downscale kernels).
+
+    Phase ``p`` has coordinate ``x = (2pd + off) / (2n)`` (off = 0 for
+    zero-align, d−n for center-align); tap ``j`` sits at
+    ``⌊x⌋ − support + 1 + j``; for ``support > a`` the kernel is stretched
+    by d/n (antialiased downscale).
+    """
+    filt = get_filter(filter_name)
+    off = 0 if align == "zero" else d - n
+    tbl = np.zeros((n, 2 * support), dtype=np.float64)
+    for p in range(n):
+        fl = (2 * p * d + off) // (2 * n)
+        for j in range(2 * support):
+            i_orig = fl - support + 1 + j
+            t = (2 * p * d + off - 2 * i_orig * n) / (2 * n)
+            if support > a:
+                tbl[p, j] = float(filt(np.array([t * n / d]), a)[0])
+            else:
+                tbl[p, j] = float(filt(np.array([t]), a)[0])
+        if normalize:
+            sm = tbl[p].sum()
+            if abs(sm) > 1e-12:
+                tbl[p] /= sm
+    return tbl
+
+
 @dataclasses.dataclass(frozen=True)
 class PhaseWeights:
     """Phase-compressed interior weights: ``out[kN+p] = Σ_j w[p,j]·in[kD+off[p]+j]``.
@@ -185,18 +222,14 @@ class PhaseWeights:
         a: int,
         filter_name: str = "lanczos",
         normalize: bool = True,
+        align: str = "zero",
     ) -> "PhaseWeights":
         n, d = reduced_scale(in_size, out_size)
-        filt = get_filter(filter_name)
+        w = phase_table(n, d, a, a, filter_name, normalize, align)
         p = np.arange(n, dtype=np.int64)
-        fl = (p * d) // n
+        aoff = 0 if align == "zero" else d - n
+        fl = (2 * p * d + aoff) // (2 * n)
         off = fl - a + 1
-        j = np.arange(2 * a, dtype=np.int64)
-        i = off[:, None] + j[None, :]
-        t = (p[:, None] * d - i * n) / n
-        w = filt(t, a)
-        if normalize:
-            w = w / w.sum(axis=1, keepdims=True)
         return cls(n=n, d=d, a=a, table=w, off=off.astype(np.int32))
 
 
@@ -292,7 +325,7 @@ def hls_schedule(
     # the reference; clamp the pre-roll reads to what exists + replicate)
     while len(win) < taps:
         win.append(win[-1] if win and win[-1] >= 0 else -1)
-    in_idx = min(a + 1, in_size) if in_size < a + 1 else a + 1
+    in_idx = min(a + 1, in_size)
 
     eff = np.empty((out_size, taps), dtype=np.int32)
     valid = np.empty((out_size, taps), dtype=bool)

@@ -104,15 +104,15 @@ class StreamingUpscaler:
         x = rows.astype(self.dtype)
         cfg = self.cfg
         if cfg.order == Order.WIDTH_FIRST:
-            x = apply_banded(x, self.idx_h, self.w_h, 1, cfg.a, cfg.dering)
+            x = apply_banded(x, self.idx_h, self.w_h, 1, dering=cfg.dering)
             if cfg.intermediate_quantize:
                 x = quantize_uint8(x, self.dtype)
-            out = apply_banded(x, idx_v, w_v, 0, cfg.a, cfg.dering)
+            out = apply_banded(x, idx_v, w_v, 0, dering=cfg.dering)
         else:
-            x = apply_banded(x, idx_v, w_v, 0, cfg.a, cfg.dering)
+            x = apply_banded(x, idx_v, w_v, 0, dering=cfg.dering)
             if cfg.intermediate_quantize:
                 x = quantize_uint8(x, self.dtype)
-            out = apply_banded(x, self.idx_h, self.w_h, 1, cfg.a, cfg.dering)
+            out = apply_banded(x, self.idx_h, self.w_h, 1, dering=cfg.dering)
         return quantize_uint8(out)
 
     def _chunk_fn_shift(self, rows):

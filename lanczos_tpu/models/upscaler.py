@@ -94,7 +94,10 @@ class Upscaler:
         self.backend = backend
         self.dtype = jnp.bfloat16 if cfg.precision == Precision.BF16 else dtype
 
-        if cfg.precision == Precision.FIXED:
+        if backend == "ref":
+            self._ops = None
+            self._fn = self._ref_forward
+        elif cfg.precision == Precision.FIXED:
             self._ops = HLSOps.build(cfg)
             self._fn = jax.jit(partial(hls_upscale_xla, ops=self._ops))
         elif backend == "shift_xla":
@@ -115,9 +118,6 @@ class Upscaler:
             interpret = jax.default_backend() == "cpu"
             self._ops = PallasOps(cfg, self.dtype, interpret=interpret)
             self._fn = jax.jit(partial(resample_2d_pallas, ops=self._ops))
-        elif backend == "ref":
-            self._ops = None
-            self._fn = self._ref_forward
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -125,8 +125,14 @@ class Upscaler:
         from lanczos_tpu.ref.oracle import c_oracle_upscale, clean_resample_2d
 
         img = np.asarray(img)
+        oh, ow = self.cfg.out_shape
+        if self.cfg.precision == Precision.FIXED:
+            from lanczos_tpu.ref.hls_sim import hls_stream_upscale
+
+            return hls_stream_upscale(
+                img, oh, ow, self.cfg.a, self.cfg.bit_precision
+            )
         if self.cfg.c_faithful:
-            oh, ow = self.cfg.out_shape
             return c_oracle_upscale(img, oh, ow, self.cfg.a)
         return clean_resample_2d(img, self.cfg)
 

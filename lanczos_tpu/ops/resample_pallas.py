@@ -45,29 +45,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _phase_table(
-    n: int, d: int, a: int, support: int, filter_name: str, normalize: bool,
-    align: str = "zero",
-) -> np.ndarray:
-    """(N, 2·support) float64 per-phase tap weights (kernel.cpp:50-59's
-    phase-LUT, generalized to both grid alignments)."""
-    filt = get_filter(filter_name)
-    off = 0 if align == "zero" else d - n  # x = (2pd + off) / (2n)
-    tbl = np.zeros((n, 2 * support), dtype=np.float64)
-    for p in range(n):
-        fl = (2 * p * d + off) // (2 * n)
-        for j in range(2 * support):
-            i_orig = fl - support + 1 + j
-            t = (2 * p * d + off - 2 * i_orig * n) / (2 * n)
-            if support > a:
-                tbl[p, j] = float(filt(np.array([t * n / d]), a)[0])
-            else:
-                tbl[p, j] = float(filt(np.array([t]), a)[0])
-        if normalize:
-            s = tbl[p].sum()
-            if abs(s) > 1e-12:
-                tbl[p] /= s
-    return tbl
+from lanczos_tpu.core.weights import phase_table as _phase_table  # noqa: E402
 
 
 def _phase_band_matrix(

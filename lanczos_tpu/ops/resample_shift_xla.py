@@ -79,6 +79,18 @@ class ShiftOps:
                 "drop-edge with normalization or dering needs the gather "
                 "path (zero padding cannot reproduce either)"
             )
+        if cfg.intermediate_quantize:
+            raise NotImplementedError(
+                "the shift path fuses both passes; a quantized intermediate "
+                "needs the gather path"
+            )
+        from lanczos_tpu.core.config import Order
+
+        if cfg.order == Order.WIDTH_FIRST and cfg.dering:
+            raise NotImplementedError(
+                "the shift path is height-first; width-first dering is "
+                "order-sensitive — use the gather path"
+            )
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
         nv, dv = cfg.scale_h
         nh, dh = cfg.scale_w

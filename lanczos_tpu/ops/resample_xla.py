@@ -106,10 +106,13 @@ def resample_2d_xla(img: jnp.ndarray, ops: SeparableOps) -> jnp.ndarray:
     h_axis, w_axis = img.ndim - 3, img.ndim - 2
 
     def vpass(v):
-        return apply_banded(v, ops.idx_v, ops.w_v, h_axis, cfg.a, cfg.dering)
+        # dering clamps against the BAND's central taps (taps//2 inside
+        # apply_banded) — for antialiased downscales support > a, so
+        # passing cfg.a here would pick off-center taps
+        return apply_banded(v, ops.idx_v, ops.w_v, h_axis, dering=cfg.dering)
 
     def hpass(v):
-        return apply_banded(v, ops.idx_h, ops.w_h, w_axis, cfg.a, cfg.dering)
+        return apply_banded(v, ops.idx_h, ops.w_h, w_axis, dering=cfg.dering)
 
     def maybe_q(v):
         return quantize_uint8(v, ops.dtype) if cfg.intermediate_quantize else v

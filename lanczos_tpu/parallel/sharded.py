@@ -121,6 +121,26 @@ class ShardedUpscaler:
             from lanczos_tpu.ops.fixed_point import HLSOps
 
             self.hls = HLSOps.build(cfg)
+            # The quantized step predicate makes the stream's gather
+            # indices drift from the nominal y·D/N (by ~y·(D/N − q/2^P)),
+            # so the float paths' a-row halo is NOT enough: compute the
+            # exact halo each shard needs from the schedule itself.
+            eff = np.asarray(self.hls.v_eff)
+            need = self.halo
+            for rr in range(R):
+                rows = eff[rr * self.out_h_local : (rr + 1) * self.out_h_local]
+                need = max(
+                    need,
+                    rr * self.in_h_local - int(rows.min()),
+                    int(rows.max()) - ((rr + 1) * self.in_h_local - 1),
+                )
+            if need > self.in_h_local:
+                raise ValueError(
+                    f"HLS stream index drift needs a {need}-row halo but "
+                    f"shards hold only {self.in_h_local} rows; use fewer "
+                    "shards or a larger bit_precision"
+                )
+            self.halo = int(need)
             self._tables = (
                 put_tbl(self.hls.v_eff),
                 put_tbl(self.hls.v_w),
@@ -222,7 +242,7 @@ class ShardedUpscaler:
             ext = halo_exchange_rows(v, self.halo, self.rows_axis, axis=1)
             local_idx = idx_v - (r * self.in_h_local - self.halo)
             return apply_banded(
-                ext, local_idx, w_v, axis=1, a=cfg.a, dering=cfg.dering
+                ext, local_idx, w_v, axis=1, dering=cfg.dering
             )
 
         def vpass_shift(v):
@@ -266,8 +286,7 @@ class ShardedUpscaler:
 
         def hpass_gather(v):
             return apply_banded(
-                v, self.ops.idx_h, self.ops.w_h, axis=2, a=cfg.a,
-                dering=cfg.dering,
+                v, self.ops.idx_h, self.ops.w_h, axis=2, dering=cfg.dering
             )
 
         vpass = vpass_shift if self.use_shift else vpass_gather

@@ -67,8 +67,11 @@ def hls_stream_upscale(
 
     # ---- vertical pass: (out_h, in_w, C) in num units (2^-P) ----
     zeros = np.zeros((in_w, nc), dtype=np.int64)
-    win = [zeros] * (a - 1) + [src[r] for r in range(a + 1)]
-    in_idx = a + 1
+    n_real = min(a + 1, in_h)
+    win = [zeros] * (a - 1) + [src[r] for r in range(n_real)]
+    while len(win) < taps:  # short input: replicate the newest row
+        win.append(win[-1])
+    in_idx = n_real
     V = np.empty((out_h, in_w, nc), dtype=np.int64)
     for y in range(out_h):
         kv = _kernel_vals(lut_v, y, in_idx, taps, n_v, d_v, a)
@@ -86,8 +89,11 @@ def hls_stream_upscale(
     zrow = np.zeros((nc,), dtype=np.int64)
     for y in range(out_h):
         row = V[y]
-        win = [zrow] * (a - 1) + [row[c] for c in range(a + 1)]
-        in_idx = a + 1
+        n_real_w = min(a + 1, in_w)
+        win = [zrow] * (a - 1) + [row[c] for c in range(n_real_w)]
+        while len(win) < taps:
+            win.append(win[-1])
+        in_idx = n_real_w
         for xx in range(out_w):
             kv = _kernel_vals(lut_h, xx, in_idx, taps, n_h, d_h, a)
             # per-MAC product truncation: 2P-frac product → P-frac floor

@@ -1,0 +1,93 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import jax
+import numpy as np
+import pytest
+
+from lanczos_tpu.core.config import Profile, ResampleConfig
+from lanczos_tpu.models.upscaler import Upscaler
+
+
+def test_sharded_hls_index_drift(rng):
+    """Finding 1: scale 3/2 fixed-point — the quantized step predicate's
+    index drift exceeded the a-row halo and corrupted shard output."""
+    from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(Profile.HLS, (768, 16), scale=(3, 2), a=2)
+    img = rng.integers(0, 256, size=(1, 768, 16, 3), dtype=np.uint8)
+    single = np.asarray(Upscaler(cfg)(img[0]))
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img))[0]
+    np.testing.assert_array_equal(out, single)
+
+
+def test_bit_precision_overflow_rejected():
+    """Finding 2: P >= 12 overflows the int32 horizontal MAC."""
+    with pytest.raises(ValueError):
+        ResampleConfig.from_profile(
+            Profile.HLS, (16, 16), scale=(2, 1), a=2, bit_precision=12
+        )
+
+
+def test_dering_downscale_central_taps(rng):
+    """Finding 3: gather-path dering clamped against off-center taps for
+    antialiased downscales (band wider than 2a)."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (64, 64), scale=(1, 2), a=3, dering=True
+    )
+    img = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(Upscaler(cfg, backend="shift_xla")(img))
+    assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+
+
+def test_hls_ref_backend_is_independent(rng):
+    """Finding 4: backend='ref' for the HLS profile must run the stream
+    simulator, not the device path itself."""
+    from lanczos_tpu.ref.hls_sim import hls_stream_upscale
+
+    cfg = ResampleConfig.from_profile(Profile.HLS, (24, 16), scale=(2, 1), a=2)
+    img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="ref")(img))
+    sim = hls_stream_upscale(img, 48, 32, 2, cfg.bit_precision)
+    np.testing.assert_array_equal(ref, sim)
+    # and the device path still matches it (bit-exactness contract)
+    dev = np.asarray(Upscaler(cfg)(img))
+    np.testing.assert_array_equal(dev, sim)
+
+
+def test_shift_backend_rejects_quantized_intermediate():
+    """Finding 5: explicit backend='shift_xla' must fail loudly rather
+    than silently dropping the quantized-intermediate semantics."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(2, 1), a=2,
+        intermediate_quantize=True,
+    )
+    with pytest.raises(NotImplementedError):
+        Upscaler(cfg, backend="shift_xla")
+
+
+def test_cli_bench_with_ref_backend(tmp_path, rng):
+    """Finding 6: --bench crashed on the ref backend (numpy output)."""
+    from lanczos_tpu.cli import main
+    from lanczos_tpu.io import write_png
+
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    write_png(src, img)
+    rc = main([str(src), str(tmp_path / "o.png"), "--scale", "2",
+               "--backend", "ref", "--no-psnr", "--bench", "2"])
+    assert rc == 0
+
+
+def test_hls_sim_short_inputs(rng):
+    """Finding 7: the stream simulator crashed for inputs with fewer than
+    a+1 rows/cols while the device path handled them."""
+    from lanczos_tpu.ref.hls_sim import hls_stream_upscale
+
+    img = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    sim = hls_stream_upscale(img, 4, 6, a=2)
+    assert sim.shape == (4, 6, 3)
+    cfg = ResampleConfig.from_profile(Profile.HLS, (2, 3), scale=(2, 1), a=2)
+    dev = np.asarray(Upscaler(cfg)(img))
+    np.testing.assert_array_equal(dev, sim)
