@@ -49,3 +49,39 @@ def test_backends_agree_random_config(seed):
         assert diff.max() <= 1, (
             f"seed {seed} backend {b} cfg {cfg}: max diff {diff.max()}"
         )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_execution_modes_agree_random_config(seed):
+    """Sharded mesh and streaming chunks vs the whole-frame path."""
+    import jax
+
+    from lanczos_tpu.models.streaming import StreamingUpscaler
+    from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+    rng = np.random.default_rng(2000 + seed)
+    n, d = SCALES[rng.integers(len(SCALES))]
+    # dims divisible by 4 shards, the scale D, and the chunk rounding
+    h = int(rng.integers(2, 5)) * d * n * 4
+    w = int(rng.integers(2, 5)) * d * 2
+    a = int(rng.integers(2, 4))
+    align = "center" if rng.integers(2) else "zero"
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (h, w), scale=(n, d), a=a, align=align,
+        edge_mode=EDGES[rng.integers(len(EDGES))],
+    )
+    if cfg.edge_mode == EdgeMode.DROP:
+        cfg = ResampleConfig.from_profile(
+            Profile.PRECISE, (h, w), scale=(n, d), a=a, align=align,
+            edge_mode=EdgeMode.DROP, normalize=False,
+        )
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    out_sh = np.asarray(ShardedUpscaler(cfg, mesh)(img[None]))[0]
+    np.testing.assert_array_equal(out_sh, ref, err_msg=f"sharded seed {seed}")
+
+    chunk = int(rng.integers(1, 4)) * n * 2
+    out_st = StreamingUpscaler(cfg, chunk_rows=chunk)(img)
+    np.testing.assert_array_equal(out_st, ref, err_msg=f"stream seed {seed}")
