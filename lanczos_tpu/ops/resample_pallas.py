@@ -96,10 +96,23 @@ def _plan_axis(
     support = a if n >= d else -(-(a * d) // n)
     tile_out = max(n, _round_up(min(tile_target, _round_up(out_size, n)), n))
     stride = tile_out * d // n
+    if align == 128 and tile_out < out_size and stride % 128:
+        # the lane (width) axis: the in-kernel chunk slice offset is
+        # j·stride, which Mosaic can only lower when 128-aligned (or when
+        # there is a single chunk and the slice is static).  Grow the tile
+        # until the stride aligns, or collapse to one chunk.
+        t = tile_out
+        while t < out_size and (t * d // n) % 128:
+            t += n
+        tile_out = max(n, _round_up(min(t, _round_up(out_size, n)), n))
+        stride = tile_out * d // n
     k = stride + 2 * support + 1
     k_pad = _round_up(k, align)
     num = -(-out_size // tile_out)
-    in_pad = (num - 1) * stride + k_pad
+    # uint8 band scratch: last dim must stay 128-lane aligned and the row
+    # extent 32-sublane aligned for Mosaic vector loads with a dynamic
+    # leading (slot) index
+    in_pad = _round_up((num - 1) * stride + k_pad, 128 if align == 128 else 1)
     return _AxisPlan(n, d, support, tile_out, stride, k_pad, num, in_pad)
 
 
@@ -143,7 +156,7 @@ class PallasOps:
         # runs 2 vertical + 3 horizontal bf16 matmuls — f32-quality output
         # at bf16 MXU rates.  BF16 mode keeps single matmuls (fastest).
         self.split = cfg.precision != Precision.BF16
-        self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=8)
+        self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32)
         self.ph = _plan_axis(iw, ow, cfg.a, tile_w, align=128)
         # Shift-FMA variant: for integer upscales (D == 1) every output
         # phase is a sum of 2a UNIT-STRIDE shifted slices of the slab
@@ -313,8 +326,17 @@ def _fused_kernel(
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-    # Mosaic has no direct u8->float casts; hop through int32.
-    xi = band[slot, :, pl.ds(j * ph.stride_in, ph.k_pad)].astype(jnp.int32)
+    # Mosaic has no direct u8->float casts; hop through int32.  The
+    # chunk's lane offset j·stride must be static (single chunk) or
+    # 128-aligned (_plan_axis guarantees the latter); the dynamic slot
+    # index is avoided by loading both slots and selecting.
+    if ph.num_tiles == 1:
+        sl = slice(0, ph.k_pad)
+    else:
+        sl = pl.ds(pl.multiple_of(j * ph.stride_in, 128), ph.k_pad)
+    x0 = band[0, :, sl].astype(jnp.int32)
+    x1 = band[1, :, sl].astype(jnp.int32)
+    xi = jnp.where(slot == 0, x0, x1)
 
     # ---- vertical pass ----
     if ops.v_shift:
