@@ -93,7 +93,7 @@ def main(argv=None) -> int:
         out = np.trunc(np.clip(out, 0, 255)).astype(np.uint8)
 
     n, d = cfg.scale_h
-    tag = f"{w}x{h}-{ow}x{oh}_{n}|{d}_{args.a}-"  # full_TB.h:170 pattern
+    tag = f"{w}x{h}->{ow}x{oh}_{n}|{d}_{args.a}-"  # full_TB.h:170 pattern
     out_path = args.output or os.path.join(
         os.path.dirname(args.input) or ".", tag + "observed.png"
     )

@@ -149,6 +149,16 @@ class ShardedUpscaler:
             shard_fn = self._shard_fn_fixed
             tbl_specs = (spec_tbl,) * 3
         else:
+            if self.halo > self.in_h_local:
+                # Without this, halo_exchange_rows' neighbor slices silently
+                # clamp to the shard height and the rebased gather indices
+                # misalign (silently wrong output on the gather path, shape
+                # error on the shift path).
+                raise ValueError(
+                    f"vertical halo of {self.halo} rows exceeds the "
+                    f"{self.in_h_local} rows held per shard; use fewer "
+                    "shards along the rows axis"
+                )
             self.ops = SeparableOps(cfg, dtype)
             # shift-FMA fast path (the default single-chip formulation)
             # applies per shard when the phase pattern is shard-invariant:

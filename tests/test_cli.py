@@ -32,7 +32,7 @@ def test_cli_default_output_name(tmp_path, rng):
     assert rc == 0
     outs = list(tmp_path.glob("*observed.png"))
     assert len(outs) == 1
-    assert "16x16-48x48_3|1_2-" in outs[0].name
+    assert "16x16->48x48_3|1_2-" in outs[0].name  # full_TB.h:170 pattern
 
 
 def test_cli_rgba_and_gray(tmp_path, rng):

@@ -105,3 +105,17 @@ def test_choose_mesh_shape():
         assert d * r == n
     assert choose_mesh_shape(8) == (2, 4)
     assert choose_mesh_shape(1) == (1, 1)
+
+
+def test_sharded_halo_exceeding_shard_raises(rng):
+    """ADVICE r1: float paths must reject halo > rows-per-shard up front.
+
+    (64,32)->(16,8) at scale 1/4, a=3 over 8 row shards needs a 12-row
+    vertical halo but each shard holds only 8 rows; before the guard the
+    gather path silently produced wrong pixels."""
+    mesh = jax.make_mesh((1, 8), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (64, 32), scale=(1, 4), a=3
+    )
+    with pytest.raises(ValueError, match="halo"):
+        ShardedUpscaler(cfg, mesh)
