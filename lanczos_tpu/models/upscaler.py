@@ -97,6 +97,15 @@ class Upscaler:
         if backend == "ref":
             self._ops = None
             self._fn = self._ref_forward
+        elif cfg.c_faithful and backend in ("auto", "xla", "c_exact"):
+            # bit-exact integer-lattice emulation of the reference's fp64
+            # sequential arithmetic (ops/c_exact.py); an fp32 gather path
+            # CANNOT reproduce the oracle's truncations for a != 2
+            from lanczos_tpu.ops.c_exact import CExactOps
+
+            self.backend = "c_exact"
+            self._ops = CExactOps(cfg)
+            self._fn = self._ops  # jits + scopes x64 internally
         elif cfg.precision == Precision.FIXED:
             self._ops = HLSOps.build(cfg)
             self._fn = jax.jit(partial(hls_upscale_xla, ops=self._ops))

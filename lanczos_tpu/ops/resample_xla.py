@@ -83,15 +83,6 @@ class SeparableOps:
         self.w_v = jnp.asarray(self.op_v.weights, dtype)
         self.idx_h = jnp.asarray(self.op_h.idx)
         self.w_h = jnp.asarray(self.op_h.weights, dtype)
-        # c-faithful in-place height-pass fixup rows (see resample_2d_xla)
-        if cfg.c_faithful:
-            in_h, out_h = cfg.in_shape[0], cfg.out_shape[0]
-            hi = np.minimum(in_h - 1, (self.op_v.base + 2 * cfg.a - 1))
-            self.fix_rows = [
-                int(y) for y in np.nonzero(hi > np.arange(out_h))[0][::-1]
-            ]  # descending
-        else:
-            self.fix_rows = []
 
 
 def resample_2d_xla(img: jnp.ndarray, ops: SeparableOps) -> jnp.ndarray:
@@ -117,12 +108,14 @@ def resample_2d_xla(img: jnp.ndarray, ops: SeparableOps) -> jnp.ndarray:
     def maybe_q(v):
         return quantize_uint8(v, ops.dtype) if cfg.intermediate_quantize else v
 
+    if cfg.c_faithful:
+        # the fp64-sequential truncation semantics are NOT reproducible in
+        # float32 (see ops/c_exact.py, which the Upscaler routes to)
+        raise NotImplementedError("c_faithful requires ops.c_exact.CExactOps")
+
     if cfg.order == Order.WIDTH_FIRST:
         x = maybe_q(hpass(x))
-        if cfg.c_faithful:
-            x = _c_faithful_height_pass(x, ops, h_axis)
-        else:
-            x = vpass(x)
+        x = vpass(x)
     else:
         x = maybe_q(vpass(x))
         x = hpass(x)
@@ -130,38 +123,3 @@ def resample_2d_xla(img: jnp.ndarray, ops: SeparableOps) -> jnp.ndarray:
     if was_int or cfg.intermediate_quantize:
         return quantize_uint8(x)
     return x
-
-
-def _c_faithful_height_pass(m: jnp.ndarray, ops: SeparableOps, axis: int):
-    """Height pass reproducing the oracle's in-place, bottom-up write order
-    (``full_TB.h:67-77``).
-
-    The bulk of rows read only width-pass (intermediate) values, so the
-    vectorized pass is correct for them.  Rows y where the tap window
-    reaches above y (``min(in_h−1, ⌊x⌋+a) > y`` — only the first
-    ~a·N/(N−D) rows of an upscale) read a mix of intermediate (i ≤ y) and
-    already-final (i > y) rows; those are recomputed descending, exactly as
-    the C loop would observe them.
-    """
-    cfg = ops.cfg
-    out0 = apply_banded(m, ops.idx_v, ops.w_v, axis, cfg.a, cfg.dering)
-    final = quantize_uint8(out0, ops.dtype)
-    if not ops.fix_rows:
-        return final
-    axis = axis % m.ndim
-    # operate with the height axis leading for row writes
-    fperm = list(range(m.ndim))
-    fperm.insert(0, fperm.pop(axis))
-    inv = np.argsort(fperm).tolist()
-    F = jnp.transpose(final, fperm)  # (out_h, ...)
-    M = jnp.transpose(m, fperm)  # (in_h_resampled == in rows live, ...)
-    idx_np, w = ops.op_v.idx, ops.op_v.weights
-    for y in ops.fix_rows:  # static, descending
-        acc = None
-        for j in range(2 * cfg.a):
-            i = int(idx_np[y, j])
-            src = F[i] if i > y else M[i]
-            term = jnp.asarray(w[y, j], ops.dtype) * src
-            acc = term if acc is None else acc + term
-        F = F.at[y].set(quantize_uint8(acc, ops.dtype))
-    return jnp.transpose(F, inv)

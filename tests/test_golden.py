@@ -32,6 +32,29 @@ def test_integer_profiles_bit_exact(golden_input, profile, a):
     np.testing.assert_array_equal(out, want)
 
 
+@pytest.mark.parametrize(
+    "profile,scale,a,bp,name",
+    [
+        ("c_oracle", (2, 1), 3, None, "golden_c_oracle_2x_a3.png"),
+        ("hls", (2, 1), 3, None, "golden_hls_2x_a3.png"),
+        ("c_oracle", (3, 2), 2, None, "golden_c_oracle_3over2_a2.png"),
+        ("hls", (3, 2), 2, None, "golden_hls_3over2_a2.png"),
+        ("hls", (2, 1), 2, 6, "golden_hls_2x_a2_p6.png"),
+        ("hls", (2, 1), 2, 10, "golden_hls_2x_a2_p10.png"),
+    ],
+)
+def test_extended_goldens_bit_exact(golden_input, profile, scale, a, bp, name):
+    """Round-2 coverage: a=3, a rational scale, and bit_precision ∈ {6, 10}
+    — all integer-exact paths, pinned bit-for-bit."""
+    kw = dict(scale=scale, a=a)
+    if bp is not None:
+        kw["bit_precision"] = bp
+    cfg = ResampleConfig.from_profile(profile, (48, 40), **kw)
+    out = np.asarray(Upscaler(cfg)(golden_input))
+    want = read_png(os.path.join(DATA, name))
+    np.testing.assert_array_equal(out, want)
+
+
 def test_precise_profile_close_across_backends(golden_input):
     cfg = ResampleConfig.from_profile(Profile.PRECISE, (48, 40), scale=(2, 1), a=3)
     outs = {

@@ -46,6 +46,24 @@ def test_hls_vs_c_oracle_rms(small_img):
     assert 15 < p < 60, f"HLS vs oracle PSNR {p:.1f} dB out of plausible range"
 
 
+def test_hls_vs_c_oracle_rms_pinned_on_golden():
+    """Regression-pin the exact RMS the reference testbench would print
+    (full_TB.h:166) on the golden image at 2x/a=2 — both operands are
+    integer-exact paths, so this value is platform-independent."""
+    import os
+
+    from lanczos_tpu.io import read_png
+    from lanczos_tpu.utils.metrics import rms_error
+
+    img = read_png(
+        os.path.join(os.path.dirname(__file__), "data", "input_48x40.png")
+    )
+    cfg = ResampleConfig.from_profile(Profile.HLS, (48, 40), scale=(2, 1), a=2)
+    hls = np.asarray(Upscaler(cfg)(img))
+    oracle = c_oracle_upscale(img, *cfg.out_shape, 2)
+    assert abs(rms_error(hls, oracle) - 13.301039994322082) < 1e-9
+
+
 def test_output_in_range(small_img):
     """Dering guarantees the fixed-point path never wraps (the reference's
     clamp_to_byte would wrap without it)."""
