@@ -41,6 +41,25 @@ def peak_bw(device) -> float:
     return 819e9
 
 
+def measured_bw(total_bytes: int, n_iter: int = 10) -> float:
+    """Achievable HBM bandwidth (bytes/s), measured with a device-resident
+    uint8 stream kernel moving the same traffic as the benchmark (read N/2 +
+    write N/2 bytes).  Gives ``vs_baseline`` a meaningful ≤1 denominator on
+    chips whose effective bandwidth differs from the nominal spec (the
+    tunneled dev chip measures well above nominal on fused pipelines)."""
+    n = max(total_bytes // 2, 1 << 20)
+    x = jnp.zeros((n,), jnp.uint8)
+    fn = jax.jit(lambda v: v ^ jnp.uint8(1))
+    fn(x).block_until_ready()
+    t0 = time.perf_counter()
+    out = x
+    for _ in range(n_iter):
+        out = fn(out)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    return 2 * n / dt
+
+
 def main():
     from lanczos_tpu.core.config import Profile, ResampleConfig
     from lanczos_tpu.models.upscaler import Upscaler
@@ -95,19 +114,25 @@ def main():
     mpix_s = out_mpix / dt
 
     dev = jax.devices()[0]
-    bw = peak_bw(dev)
     min_bytes = (in_shape[0] * in_shape[1] + out_shape[0] * out_shape[1]) * 3
-    roofline_mpix_s = out_mpix / (min_bytes / bw)
+    nominal_bw = peak_bw(dev)
+    real_bw = measured_bw(min_bytes)
+    nominal_roof = out_mpix / (min_bytes / nominal_bw)
+    measured_roof = out_mpix / (min_bytes / real_bw)
     result = {
         "metric": f"{in_shape[1]}x{in_shape[0]}->{out_shape[1]}x{out_shape[0]}_lanczos{a}_upscale",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / roofline_mpix_s, 4),
+        # fraction of the *measured* achievable-bandwidth roofline (<= ~1);
+        # the nominal-spec fraction is reported alongside for reference
+        "vs_baseline": round(mpix_s / measured_roof, 4),
+        "vs_nominal_roofline": round(mpix_s / nominal_roof, 4),
     }
     print(json.dumps(result))
     print(
         f"# backend={model.backend} device={dev.device_kind} dt={dt*1e3:.2f}ms "
-        f"roofline={roofline_mpix_s:.0f}Mpix/s bw={bw/1e9:.0f}GB/s",
+        f"measured_bw={real_bw/1e9:.0f}GB/s (nominal {nominal_bw/1e9:.0f}) "
+        f"measured_roofline={measured_roof:.0f}Mpix/s",
         file=sys.stderr,
     )
 
