@@ -8,7 +8,16 @@ Reports one row per benchmark config (BASELINE.json `configs`):
   5. streaming 4K→8K row-chunked (bounded-memory mode)
 
 Usage: python bench_suite.py [--backend auto|xla|pallas] [--iters N]
+                             [--mesh R]
 Prints one JSON line per row plus a human table to stderr.
+
+``--mesh R`` adds the BASELINE.md row-partitioned config: a (data × R)
+mesh running ShardedUpscaler, reporting scaling efficiency vs the
+single-device throughput measured in the same process.  Runs on whatever
+devices exist — the virtual CPU mesh today (with a stderr caveat), real
+chips when available:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python bench_suite.py --mesh 8
 """
 
 from __future__ import annotations
@@ -56,6 +65,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--mesh", type=int, default=0, metavar="R",
+                    help="add a row-sharded config over a (data x R) mesh")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +119,60 @@ def main():
     }))
     print(f"# streaming: {dt*1e3:.2f} ms/frame (first {dt0*1e3:.0f} ms)",
           file=sys.stderr)
+
+    # row-partitioned mesh config (BASELINE.md: "8K frame row-partitioned
+    # across 8 chips"); vs_baseline = scaling efficiency (target >= 0.85)
+    if args.mesh:
+        from lanczos_tpu.parallel.multihost import scaling_efficiency
+        from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+        R = args.mesh
+        n_dev = len(jax.devices())
+        if n_dev % R:
+            sys.exit(f"--mesh {R} does not divide device count {n_dev}")
+        D = n_dev // R
+        ins, outs = (2160, 3840), (4320, 7680)
+        if jax.default_backend() == "cpu":
+            ins, outs = (512, 960), (1024, 1920)  # CPU-mesh smoke shapes
+        cfg = ResampleConfig.from_profile(
+            Profile.PRECISE, ins, out_shape=outs, a=3
+        )
+        single = Upscaler(cfg, backend=args.backend)
+        x1 = img(*ins)
+        jax.block_until_ready(single(x1))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = single(x1)
+        jax.block_until_ready(out)
+        dt1 = (time.perf_counter() - t0) / args.iters
+        single_mpix_s = outs[0] * outs[1] / 1e6 / dt1
+
+        mesh = jax.make_mesh((D, R), ("data", "rows"))
+        sh = ShardedUpscaler(cfg, mesh)
+        xs = img(*ins, D)
+        jax.block_until_ready(sh(xs))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = sh(xs)
+        jax.block_until_ready(out)
+        dtm = (time.perf_counter() - t0) / args.iters
+        total_mpix_s = D * outs[0] * outs[1] / 1e6 / dtm
+        eff = scaling_efficiency(total_mpix_s, single_mpix_s, n_dev)
+        print(json.dumps({
+            "metric": f"{outs[1]}x{outs[0]}_a3_mesh{D}x{R}",
+            "value": round(total_mpix_s, 1),
+            "unit": "Mpix/s",
+            "vs_baseline": round(eff, 4),
+        }))
+        caveat = (
+            " [virtual CPU mesh — timings are NOT chip-representative]"
+            if jax.default_backend() == "cpu" else ""
+        )
+        print(
+            f"# mesh {D}x{R}: {dtm*1e3:.2f} ms, single-dev "
+            f"{single_mpix_s:.0f} Mpix/s, scaling eff {eff:.2f}{caveat}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
