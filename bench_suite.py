@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mesh", type=int, default=0, metavar="R",
                     help="add a row-sharded config over a (data x R) mesh")
+    ap.add_argument("--bf16", action="store_true",
+                    help="add a Precision.BF16 4K->8K row")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +97,23 @@ def main():
         run_case(
             name, lambda m=model, x=x: m(x), ins, outs, args.iters,
             {"batch": batch or 1},
+        )
+
+    if args.bf16:
+        from lanczos_tpu.core.config import Precision
+
+        ins, outs = (2160, 3840), (4320, 7680)
+        if jax.default_backend() == "cpu":
+            ins, outs = (540, 960), (1080, 1920)
+        cfg = ResampleConfig.from_profile(
+            Profile.PRECISE, ins, out_shape=outs, a=3,
+            precision=Precision.BF16,
+        )
+        model = Upscaler(cfg, backend=args.backend)
+        x = img(*ins)
+        run_case(
+            f"{outs[1]}x{outs[0]}_a3_bf16", lambda: model(x), ins, outs,
+            args.iters,
         )
 
     # streaming (bounded memory): whole-frame wrapper, host loop included
