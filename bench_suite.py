@@ -89,9 +89,21 @@ def main():
         ("1080p->4K_a3", (1080, 1920), (2160, 3840), 3, None),
         ("batch32_1080p->4K_a3", (1080, 1920), (2160, 3840), 3, 32),
         ("4K->8K_a3", (2160, 3840), (4320, 7680), 3, None),
+        # prime-ish arbitrary scale (N=4321/7681) — exercises the blocked
+        # banded-matmul path (shift-FMA caps at 32 phases)
+        ("4K->8K+1px_a3_largeN", (2160, 3840), (4321, 7681), 3, None),
+        # drop+normalize — also block-path (formerly the ~39 ms gather)
+        ("4K->8K_a3_dropnorm", (2160, 3840), (4320, 7680), 3, None),
     ]
     for name, ins, outs, a, batch in cases:
-        cfg = ResampleConfig.from_profile(Profile.PRECISE, ins, out_shape=outs, a=a)
+        kw = {}
+        if name.endswith("dropnorm"):
+            from lanczos_tpu.core.config import EdgeMode
+
+            kw = dict(edge_mode=EdgeMode.DROP, normalize=True)
+        cfg = ResampleConfig.from_profile(
+            Profile.PRECISE, ins, out_shape=outs, a=a, **kw
+        )
         model = Upscaler(cfg, backend=args.backend)
         x = img(*ins, batch)
         run_case(
