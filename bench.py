@@ -41,22 +41,18 @@ def peak_bw(device) -> float:
     return 819e9
 
 
-def measured_bw(total_bytes: int, n_iter: int = 10) -> float:
+def measured_bw(total_bytes: int, rb_cost: float, n_iter: int = 30) -> float:
     """Achievable HBM bandwidth (bytes/s), measured with a device-resident
     uint8 stream kernel moving the same traffic as the benchmark (read N/2 +
-    write N/2 bytes).  Gives ``vs_baseline`` a meaningful ≤1 denominator on
-    chips whose effective bandwidth differs from the nominal spec (the
-    tunneled dev chip measures well above nominal on fused pipelines)."""
+    write N/2 bytes), timed with the queue-draining steady_time (the
+    tunnel's block_until_ready does not actually wait — round-2 finding).
+    Gives ``vs_baseline`` a meaningful ≤1 denominator."""
+    from lanczos_tpu.utils.profiling import steady_time
+
     n = max(total_bytes // 2, 1 << 20)
     x = jnp.zeros((n,), jnp.uint8)
     fn = jax.jit(lambda v: v ^ jnp.uint8(1))
-    fn(x).block_until_ready()
-    t0 = time.perf_counter()
-    out = x
-    for _ in range(n_iter):
-        out = fn(out)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    dt = steady_time(fn, x, iters=n_iter, rb_cost=rb_cost)
     return 2 * n / dt
 
 
@@ -101,14 +97,17 @@ def main():
         )
         fn = model.jitted
 
+    from lanczos_tpu.utils.profiling import readback_cost, steady_time
+
     out = fn(img)
     out.block_until_ready()  # compile + warm up
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(img)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
+    rb = readback_cost()
+    if rb > 2.0:
+        print(
+            f"# WARNING: device unhealthy (readback {rb:.1f}s) — timings "
+            "unreliable", file=sys.stderr,
+        )
+    dt = steady_time(fn, img, iters=50, rb_cost=rb)
 
     out_mpix = out_shape[0] * out_shape[1] / 1e6
     mpix_s = out_mpix / dt
@@ -116,7 +115,7 @@ def main():
     dev = jax.devices()[0]
     min_bytes = (in_shape[0] * in_shape[1] + out_shape[0] * out_shape[1]) * 3
     nominal_bw = peak_bw(dev)
-    real_bw = measured_bw(min_bytes)
+    real_bw = measured_bw(min_bytes, rb)
     nominal_roof = out_mpix / (min_bytes / nominal_bw)
     measured_roof = out_mpix / (min_bytes / real_bw)
     result = {

@@ -30,16 +30,25 @@ import time
 import numpy as np
 
 
-def run_case(name, fn, in_shape, out_shape, iters, extra=None):
-    import jax
+_RB = None
 
-    out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+
+def _rb():
+    global _RB
+    if _RB is None:
+        from lanczos_tpu.utils.profiling import readback_cost
+
+        _RB = readback_cost()
+        if _RB > 2.0:
+            print(f"# WARNING: device unhealthy (readback {_RB:.1f}s)",
+                  file=sys.stderr)
+    return _RB
+
+
+def run_case(name, fn, in_shape, out_shape, iters, extra=None):
+    from lanczos_tpu.utils.profiling import steady_time
+
+    dt = steady_time(lambda _=None: fn(), None, iters=iters, rb_cost=_rb())
 
     from lanczos_tpu.utils.profiling import chip_spec
 
@@ -137,10 +146,12 @@ def main():
     t0 = time.perf_counter()
     out = sm(frame)
     dt0 = time.perf_counter() - t0  # includes compile
-    t0 = time.perf_counter()
-    for _ in range(max(1, args.iters // 3)):
-        out = sm(frame)
-    dt = (time.perf_counter() - t0) / max(1, args.iters // 3)
+    from lanczos_tpu.utils.profiling import steady_time
+
+    dt = steady_time(
+        lambda _=None: sm(frame), None,
+        iters=max(1, args.iters // 3), rb_cost=_rb(),
+    )
     mpix = 4320 * 7680 / 1e6
     print(json.dumps({
         "metric": "stream4K->8K_a3_chunk1024",
@@ -168,25 +179,19 @@ def main():
         cfg = ResampleConfig.from_profile(
             Profile.PRECISE, ins, out_shape=outs, a=3
         )
+        from lanczos_tpu.utils.profiling import steady_time
+
         single = Upscaler(cfg, backend=args.backend)
         x1 = img(*ins)
         jax.block_until_ready(single(x1))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = single(x1)
-        jax.block_until_ready(out)
-        dt1 = (time.perf_counter() - t0) / args.iters
+        dt1 = steady_time(single, x1, iters=args.iters, rb_cost=_rb())
         single_mpix_s = outs[0] * outs[1] / 1e6 / dt1
 
         mesh = jax.make_mesh((D, R), ("data", "rows"))
         sh = ShardedUpscaler(cfg, mesh)
         xs = img(*ins, D)
         jax.block_until_ready(sh(xs))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = sh(xs)
-        jax.block_until_ready(out)
-        dtm = (time.perf_counter() - t0) / args.iters
+        dtm = steady_time(sh, xs, iters=args.iters, rb_cost=_rb())
         total_mpix_s = D * outs[0] * outs[1] / 1e6 / dtm
         eff = scaling_efficiency(total_mpix_s, single_mpix_s, n_dev)
         print(json.dumps({

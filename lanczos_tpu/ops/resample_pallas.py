@@ -156,8 +156,18 @@ class PallasOps:
         # runs 2 vertical + 3 horizontal bf16 matmuls — f32-quality output
         # at bf16 MXU rates.  BF16 mode keeps single matmuls (fastest).
         self.split = cfg.precision != Precision.BF16
-        self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32)
-        self.ph = _plan_axis(iw, ow, cfg.a, tile_w, align=128)
+        # v2 (transpose-free, phase-planar horizontal) covers integer
+        # upscales on both axes — the flagship configs; v1 (banded matmul /
+        # transpose shift) remains for rational scales
+        nv, dv = reduced_scale(ih, oh)
+        nh, dh = reduced_scale(iw, ow)
+        self.v2 = dv == 1 and dh == 1 and nv <= 16 and nh <= 16
+        if self.v2:
+            self.pv = _plan_axis(ih, oh, cfg.a, 128, align=32)
+            self.ph = _plan_axis(iw, ow, cfg.a, ow, align=128)
+        else:
+            self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32)
+            self.ph = _plan_axis(iw, ow, cfg.a, tile_w, align=128)
         # Shift-FMA variant: for integer upscales (D == 1) every output
         # phase is a sum of 2a UNIT-STRIDE shifted slices of the slab
         # scaled by compile-time-constant weights — ~2a FMAs per output on
@@ -368,6 +378,106 @@ def _fused_kernel(
     out_ref[0] = q.astype(jnp.uint8)
 
 
+def _fused_kernel_v2(img_ref, out_ref, band, sems, *, ops: PallasOps):
+    """Transpose-free fused body: one (channel, row-tile) per step.
+
+    Round-2 redesign.  Profiling showed the v1 kernel's 4-6 ms at 4K→8K
+    was dominated by the horizontal pass's VMEM round-trip + double
+    transpose (``mid[...].T`` → Mosaic lane shuffles).  v2 eliminates it:
+
+    - full-width row bands (one DMA per band, double-buffered as in v1);
+    - vertical pass: sublane shift-FMA interleave (as v1);
+    - horizontal pass: computed PER PHASE as unit-stride *lane* slices of
+      the mid band — measured fine in Mosaic when the offsets are static —
+      and stored **phase-planar** to out[(c, p, i)]: no lane interleave,
+      no transpose.  One cheap XLA transpose+reshape outside the kernel
+      interleaves the N_h phase planes into the final width.
+    """
+    pv, ph = ops.pv, ops.ph
+    n_i = pv.num_tiles
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    band_lin = c * n_i + i
+    bands_total = pl.num_programs(0) * n_i
+
+    def dma_for(band_idx, slot):
+        cc = band_idx // n_i
+        ii = band_idx % n_i
+        return pltpu.make_async_copy(
+            img_ref.at[cc, pl.ds(ii * pv.stride_in, pv.k_pad), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    slot = band_lin % 2
+
+    @pl.when(band_lin == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(band_lin + 1 < bands_total)
+    def _():
+        dma_for(band_lin + 1, (band_lin + 1) % 2).start()
+
+    dma_for(band_lin, slot).wait()
+
+    x0 = band[0].astype(jnp.int32)
+    x1 = band[1].astype(jnp.int32)
+    xi = jnp.where(slot == 0, x0, x1).astype(jnp.float32)
+
+    mid = _shift_pass(xi, pv, ops.tbl_v, ops.cfg.dering, ops.off_v)
+
+    # horizontal pass, one phase plane at a time (static lane offsets)
+    m = ph.stride_in
+    s = ph.support
+    taps = 2 * s
+    for p in range(ph.n):
+        fp = (2 * p * ph.d + ops.off_h) // (2 * ph.n)
+        slices = [mid[:, fp + 1 + t : fp + 1 + t + m] for t in range(taps)]
+        acc = None
+        for t in range(taps):
+            term = float(ops.tbl_h[p, t]) * slices[t]
+            acc = term if acc is None else acc + term
+        if ops.cfg.dering:
+            acc = jnp.clip(
+                acc,
+                jnp.minimum(slices[s - 1], slices[s]),
+                jnp.maximum(slices[s - 1], slices[s]),
+            )
+        q = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+        out_ref[0, p] = q.astype(jnp.uint8)
+
+
+def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
+    """(NC, Hp, Wp) uint8 padded planar → (NC, OH, OW) uint8, v2 kernel."""
+    pv, ph = ops.pv, ops.ph
+    nc = img_planar.shape[0]
+    wp = img_planar.shape[-1]
+    oh, ow = ops.cfg.out_shape
+    m = ph.stride_in  # = in_w for integer upscales
+    grid = (nc, pv.num_tiles)
+    kernel = functools.partial(_fused_kernel_v2, ops=ops)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, ph.n, pv.tile_out, m),
+            lambda c, i: (c, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, ph.n, oh, m), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, pv.k_pad, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=ops.interpret,
+    )(img_planar)
+    # interleave phase planes: out col k·N_h + p = y[:, p, :, k]
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(nc, oh, m * ph.n)
+    return y[:, :, :ow]
+
+
 def _fused_call(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
     """(NC, Hp, Wp) uint8 padded planar → (NC, OH, OW) uint8."""
     pv, ph = ops.pv, ops.ph
@@ -415,7 +525,7 @@ def upscale_planar(img: jnp.ndarray, ops: PallasOps) -> jnp.ndarray:
     b, c = x.shape[0], x.shape[1]
     x = x.reshape(b * c, *x.shape[2:])
     x = ops.pad_input(x)
-    y = _fused_call(ops, x)
+    y = _fused_call_v2(ops, x) if ops.v2 else _fused_call(ops, x)
     y = y.reshape(b, c, *cfg.out_shape)
     return y if batched else y[0]
 

@@ -45,7 +45,14 @@ def chip_spec(device=None):
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
-    """Mean seconds per call of a device function (first call compiles)."""
+    """Mean seconds per call of a device function (first call compiles).
+
+    WARNING: on the tunneled dev chip ``block_until_ready`` does NOT wait
+    for execution until the dispatch queue saturates, so short loops
+    measure dispatch rate, not compute (discovered round 2 — it inflated
+    every round-1 headline ~100×).  Use :func:`steady_time` for honest
+    numbers.
+    """
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -54,6 +61,49 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def _force(out) -> None:
+    """Force one element of a (possibly nested) device output to host —
+    the only reliable completion barrier on the tunneled backend."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    np.asarray(jax.numpy.ravel(leaves[0])[:1])
+
+
+def readback_cost(samples: int = 3) -> float:
+    """Seconds per 1-element host readback on ready data (tunnel latency).
+    Also a health probe: a healthy tunnel measures ~30 ms; seconds-scale
+    values mean the device queue is backed up with orphaned work."""
+    import numpy as np
+
+    x = jax.numpy.zeros((1024,), jax.numpy.uint8)
+    jax.block_until_ready(x)
+    np.asarray(x[:1])  # first touch
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        np.asarray(x[:1])
+    return (time.perf_counter() - t0) / samples
+
+
+def steady_time(
+    fn: Callable, *args, iters: int = 50, rb_cost: Optional[float] = None
+) -> float:
+    """Honest mean seconds per call: drains the async dispatch queue with a
+    host readback before AND after the timed loop, and subtracts the
+    measured readback constant.  ``block_until_ready`` alone is a no-op on
+    the tunneled backend until the queue saturates — see time_fn."""
+    if rb_cost is None:
+        rb_cost = readback_cost()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    _force(out)  # drain everything queued so far
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _force(out)
+    return max((time.perf_counter() - t0) - rb_cost, 1e-9) / iters
 
 
 @dataclasses.dataclass
