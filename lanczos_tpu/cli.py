@@ -63,11 +63,11 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from lanczos_tpu.core.config import Profile, ResampleConfig
-    from lanczos_tpu.io import read_png, write_png
+    from lanczos_tpu.io import read_image, write_png
     from lanczos_tpu.models.upscaler import Upscaler
     from lanczos_tpu.utils.metrics import psnr, rms_error
 
-    img = read_png(args.input)
+    img = read_image(args.input)
     if img.shape[-1] == 4:
         img = img[..., :3]  # drop alpha for parity with the RGB reference
     elif img.shape[-1] == 2:

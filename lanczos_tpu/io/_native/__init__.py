@@ -13,6 +13,8 @@ from typing import Optional
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "pngfilter.cpp")
 _SO = os.path.join(_HERE, "libpngfilter.so")
+_JPEG_SRC = os.path.join(_HERE, "jpegdec.cpp")
+_JPEG_SO = os.path.join(_HERE, "libjpegdec.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -21,8 +23,9 @@ _tried = False
 
 class _Lib:
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
 
-    def __init__(self, cdll: ctypes.CDLL):
+    def __init__(self, cdll: ctypes.CDLL, jpeg_cdll=None):
         self._cdll = cdll
         cdll.png_unfilter.restype = ctypes.c_int
         cdll.png_unfilter.argtypes = [
@@ -35,19 +38,31 @@ class _Lib:
         ]
         self.png_unfilter = cdll.png_unfilter
         self.png_filter = cdll.png_filter
+        if jpeg_cdll is not None:
+            jpeg_cdll.jpeg_decode_scan.restype = ctypes.c_int
+            jpeg_cdll.jpeg_decode_scan.argtypes = [
+                self.u8p, ctypes.c_long, ctypes.c_int, self.i32p, self.i32p,
+                self.i32p, self.i32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(self.u8p), self.i32p,
+            ]
+            self.jpeg_decode_scan = jpeg_cdll.jpeg_decode_scan
 
 
-def _build() -> Optional[str]:
+def _build_one(src: str, so: str) -> Optional[str]:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
             check=True,
             capture_output=True,
             timeout=120,
         )
-        return _SO
+        return so
     except Exception:
         return None
+
+
+def _build() -> Optional[str]:
+    return _build_one(_SRC, _SO)
 
 
 def native_lib() -> Optional[_Lib]:
@@ -63,8 +78,16 @@ def native_lib() -> Optional[_Lib]:
         path = _SO if os.path.exists(_SO) else _build()
         if path is None:
             return None
+        jpath = (
+            _JPEG_SO if os.path.exists(_JPEG_SO)
+            else _build_one(_JPEG_SRC, _JPEG_SO)
+        )
         try:
-            _lib = _Lib(ctypes.CDLL(path))
+            jdll = ctypes.CDLL(jpath) if jpath else None
+        except OSError:
+            jdll = None
+        try:
+            _lib = _Lib(ctypes.CDLL(path), jdll)
         except OSError:
             _lib = None
         return _lib

@@ -17,7 +17,8 @@ from typing import Callable, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
-from lanczos_tpu.io.png import read_png, write_png
+from lanczos_tpu.io.png import write_png
+from lanczos_tpu.io import read_image
 
 
 class FrameLoader:
@@ -44,7 +45,7 @@ class FrameLoader:
 
     def __iter__(self) -> Iterator[tuple[str, np.ndarray]]:
         def load(p):
-            img = read_png(p)
+            img = read_image(p)
             return self.transform(img) if self.transform else img
 
         with _fut.ThreadPoolExecutor(self.workers) as pool:

@@ -111,8 +111,43 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return _unfilter_numpy(raw, h, stride, bpp)
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _pass_geometry(w: int, h: int, depth: int, nchan: int):
+    if depth < 8:
+        return lambda pw: ((pw * depth + 7) // 8, 1)
+    bpp = nchan * (depth // 8)
+    return lambda pw: (pw * bpp, bpp)
+
+
+def _rows_to_samples(
+    rec: np.ndarray, w: int, nchan: int, depth: int, color: int
+) -> np.ndarray:
+    """Unfiltered byte rows (h, stride) → (h, w, nchan) uint8 samples."""
+    h = rec.shape[0]
+    if depth == 16:
+        return rec.reshape(h, w, nchan, 2)[..., 0]  # big-endian high byte
+    if depth < 8:
+        bits = np.unpackbits(rec, axis=1)  # (h, stride*8), MSB first
+        samples = bits.reshape(h, -1, depth)[:, :w, :]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (samples * weights).sum(axis=2).astype(np.uint8)
+        if color == 0:  # scale to full 8-bit range per the spec
+            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return vals[:, :, None]
+    return rec.reshape(h, w, nchan)
+
+
 def decode(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8 (C ∈ {1, 2, 3, 4})."""
+    """PNG bytes → (H, W, C) uint8 (C ∈ {1, 2, 3, 4}).
+
+    Supports non-interlaced and Adam7-interlaced images (the latter closing
+    the stb ingest gap noted in the round-1 verdict)."""
     if data[:8] != _SIG:
         raise PNGError("not a PNG (bad signature)")
     ihdr = None
@@ -133,35 +168,42 @@ def decode(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise PNGError("unsupported compression/filter method")
-    if interlace != 0:
-        raise PNGError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise PNGError(f"bad interlace method {interlace}")
     if color not in _COLOR_CHANNELS:
         raise PNGError(f"bad color type {color}")
     if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
         raise PNGError(f"unsupported bit depth {depth} for color type {color}")
     nchan = _COLOR_CHANNELS[color]
-    if depth < 8:
-        stride = (w * depth + 7) // 8
-        bpp = 1
-    else:
-        bpp = nchan * (depth // 8)
-        stride = w * bpp
+    geom = _pass_geometry(w, h, depth, nchan)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise PNGError(f"decompressed size {raw.size} != {h * (stride + 1)}")
-    rec = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
-    if depth == 16:
-        img = rec.reshape(h, w, nchan, 2)[..., 0]  # big-endian high byte
-    elif depth < 8:
-        bits = np.unpackbits(rec, axis=1)  # (h, stride*8), MSB first
-        samples = bits.reshape(h, -1, depth)[:, :w, :]
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        vals = (samples * weights).sum(axis=2).astype(np.uint8)
-        if color == 0:  # scale to full 8-bit range per the spec
-            vals = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
-        img = vals[:, :, None]
-    else:
-        img = rec.reshape(h, w, nchan)
+    if interlace == 0:
+        stride, bpp = geom(w)
+        if raw.size != h * (stride + 1):
+            raise PNGError(
+                f"decompressed size {raw.size} != {h * (stride + 1)}"
+            )
+        rec = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+        img = _rows_to_samples(rec, w, nchan, depth, color)
+    else:  # Adam7: 7 independently-filtered sub-images, composited
+        img = np.zeros((h, w, nchan), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride, bpp = geom(pw)
+            n = ph * (stride + 1)
+            if pos + n > raw.size:
+                raise PNGError("truncated interlaced data")
+            rec = _unfilter(
+                raw[pos : pos + n].reshape(ph, stride + 1), ph, stride, bpp
+            )
+            pos += n
+            img[y0::dy, x0::dx] = _rows_to_samples(
+                rec, pw, nchan, depth, color
+            )
     if color == 3:
         if palette is None:
             raise PNGError("paletted PNG without PLTE")
