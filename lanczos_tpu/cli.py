@@ -1,6 +1,7 @@
 """Command-line interface.
 
-Mirrors the reference testbench workflow (``full_TB.h:99-180``): load a PNG,
+Mirrors the reference testbench workflow (``full_TB.h:99-180``): load a PNG
+or JPEG,
 run the device path ("observed"), optionally run the software oracle
 ("expected"), print RMS/PSNR, and write outputs with the config-encoded
 filename pattern ``WxH->WxH_N|D_a-`` (``full_TB.h:170``).
@@ -50,7 +51,7 @@ def main(argv=None) -> int:
     p.add_argument("--profile", default="precise",
                    choices=["precise", "c_oracle", "hls"])
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "shift_xla", "xla", "pallas", "ref"])
+                   choices=["auto", "shift_xla", "block", "xla", "pallas", "c_exact", "ref"])
     p.add_argument("--filter", default="lanczos")
     p.add_argument("--align", default="zero", choices=["zero", "center"],
                    help="grid alignment: zero (reference) or center (PIL-style)")
