@@ -22,15 +22,36 @@ from lanczos_tpu.io.jpeg import JPEGError, decode as decode_jpeg  # noqa: F401
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or JPEG bytes by magic sniffing → (H, W, C) uint8."""
+    """Decode image bytes by magic sniffing → (H, W, C) uint8.
+
+    Formats: PNG (incl. Adam7), baseline JPEG, BMP, GIF, binary PNM.
+    (TGA has no magic — use :func:`read_image`, which falls back to it by
+    file extension, or call ``formats.decode_tga`` directly.)
+    """
+    from lanczos_tpu.io import formats
+
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
-    raise ValueError("unrecognized image format (expect PNG or JPEG)")
+    if data[:2] == b"BM":
+        return formats.decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return formats.decode_gif(data)
+    if data[:2] in (b"P5", b"P6"):
+        return formats.decode_pnm(data)
+    raise ValueError(
+        "unrecognized image format (expect PNG/JPEG/BMP/GIF/PNM; "
+        "TGA is dispatched by extension in read_image)"
+    )
 
 
 def read_image(path) -> np.ndarray:
-    """stbi_load equivalent: load a PNG or JPEG file as (H, W, C) uint8."""
+    """stbi_load equivalent: load an image file as (H, W, C) uint8."""
     with open(path, "rb") as f:
-        return decode_image(f.read())
+        data = f.read()
+    if str(path).lower().endswith((".tga", ".icb", ".vda", ".vst")):
+        from lanczos_tpu.io import formats
+
+        return formats.decode_tga(data)
+    return decode_image(data)

@@ -1,0 +1,95 @@
+"""BMP / TGA / PNM / GIF decoders vs PIL-generated fixtures.
+
+Closes the rest of the reference's stb ingest surface (round-1 verdict
+item 8; ``stb_image.h`` formats minus the vanishingly-rare PSD/PIC).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL.Image")
+
+from lanczos_tpu.io import decode_image, read_image
+from lanczos_tpu.io.formats import (
+    FormatError,
+    decode_bmp,
+    decode_gif,
+    decode_pnm,
+    decode_tga,
+)
+
+
+def _rgb(rng, h=23, w=17):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _save(arr, fmt, **kw):
+    buf = io.BytesIO()
+    im = PIL.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+    im.save(buf, format=fmt, **kw)
+    return buf.getvalue()
+
+
+def test_bmp_24bit(rng):
+    arr = _rgb(rng)
+    got = decode_bmp(_save(arr, "BMP"))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_bmp_8bit_palette(rng):
+    im = PIL.fromarray(_rgb(rng, 32, 16)).quantize(100)
+    buf = io.BytesIO()
+    im.save(buf, format="BMP")
+    got = decode_bmp(buf.getvalue())
+    np.testing.assert_array_equal(got, np.asarray(im.convert("RGB")))
+
+
+def test_tga_truecolor_and_rle(rng):
+    arr = _rgb(rng, 19, 21)
+    for rle in (False, True):
+        got = decode_tga(_save(arr, "TGA", rle=rle))
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_tga_grayscale(rng):
+    arr = rng.integers(0, 256, size=(9, 11, 1), dtype=np.uint8)
+    got = decode_tga(_save(arr, "TGA"))
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_pnm_p6_and_p5(rng):
+    arr = _rgb(rng)
+    np.testing.assert_array_equal(decode_pnm(_save(arr, "PPM")), arr)
+    g = rng.integers(0, 256, size=(13, 7, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_pnm(_save(g, "PPM")), g)
+
+
+def test_gif_palette_roundtrip(rng):
+    im = PIL.fromarray(_rgb(rng, 25, 33)).quantize(64)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    got = decode_gif(buf.getvalue())
+    np.testing.assert_array_equal(got[..., :3], np.asarray(im.convert("RGB")))
+
+
+def test_gif_large_dictionary(rng):
+    """Enough pixels to grow the LZW code size past 9 bits."""
+    arr = (np.indices((64, 128)).sum(0) % 200).astype(np.uint8)
+    im = PIL.fromarray(arr, mode="L").convert("P")
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    got = decode_gif(buf.getvalue())
+    np.testing.assert_array_equal(got[..., :3], np.asarray(im.convert("RGB")))
+
+
+def test_dispatch_by_magic_and_extension(tmp_path, rng):
+    arr = _rgb(rng)
+    assert np.array_equal(decode_image(_save(arr, "BMP")), arr)
+    assert np.array_equal(decode_image(_save(arr, "PPM")), arr)
+    p = tmp_path / "x.tga"
+    p.write_bytes(_save(arr, "TGA"))
+    assert np.array_equal(read_image(p), arr)
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01nonsense")
