@@ -90,11 +90,23 @@ class _AxisPlan:
 
 
 def _plan_axis(
-    in_size: int, out_size: int, a: int, tile_target: int, align: int
+    in_size: int, out_size: int, a: int, tile_target: int, align: int,
+    tile_mult: int = 1,
 ) -> _AxisPlan:
     n, d = reduced_scale(in_size, out_size)
     support = a if n >= d else -(-(a * d) // n)
-    tile_out = max(n, _round_up(min(tile_target, _round_up(out_size, n)), n))
+    if tile_mult > 1:
+        # tile_out must be a multiple of lcm(n, tile_mult) when tiling
+        # (Mosaic block sublane constraint) — or cover the whole axis
+        lcm = n * tile_mult // math.gcd(n, tile_mult)
+        whole = _round_up(out_size, n)
+        tile_out = max(lcm, (min(tile_target, whole) // lcm) * lcm)
+        if tile_out >= whole:
+            tile_out = whole
+    else:
+        tile_out = max(
+            n, _round_up(min(tile_target, _round_up(out_size, n)), n)
+        )
     stride = tile_out * d // n
     if align == 128 and tile_out < out_size and stride % 128:
         # the lane (width) axis: the in-kernel chunk slice offset is
@@ -163,7 +175,7 @@ class PallasOps:
         nh, dh = reduced_scale(iw, ow)
         self.v2 = dv == 1 and dh == 1 and nv <= 16 and nh <= 16
         if self.v2:
-            self.pv = _plan_axis(ih, oh, cfg.a, 128, align=32)
+            self.pv = _plan_axis(ih, oh, cfg.a, 128, align=32, tile_mult=8)
             self.ph = _plan_axis(iw, ow, cfg.a, ow, align=128)
         else:
             self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32)
@@ -456,6 +468,9 @@ def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
     oh, ow = ops.cfg.out_shape
     m = ph.stride_in  # = in_w for integer upscales
     grid = (nc, pv.num_tiles)
+    # output rows padded to the tile grid (tile_out is sublane-aligned or
+    # the whole axis; sliced back to oh below)
+    oh_pad = pv.num_tiles * pv.tile_out
     kernel = functools.partial(_fused_kernel_v2, ops=ops)
     y = pl.pallas_call(
         kernel,
@@ -466,7 +481,7 @@ def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
             lambda c, i: (c, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nc, ph.n, oh, m), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((nc, ph.n, oh_pad, m), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((2, pv.k_pad, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -474,7 +489,7 @@ def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         interpret=ops.interpret,
     )(img_planar)
     # interleave phase planes: out col k·N_h + p = y[:, p, :, k]
-    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(nc, oh, m * ph.n)
+    y = jnp.transpose(y[:, :, :oh], (0, 2, 3, 1)).reshape(nc, oh, m * ph.n)
     return y[:, :, :ow]
 
 

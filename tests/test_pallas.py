@@ -115,3 +115,30 @@ def test_pallas_downscale(rng):
     out = _run_pallas(cfg, img, tile_h=16, tile_w=128)
     diff = np.abs(ref.astype(int) - out.astype(int))
     assert diff.max() <= 1
+
+
+def test_v2_tile_plan_alignment(rng):
+    """N=3 upscales must not produce non-sublane-aligned row tiles
+    (regression: 48->144 rows planned a 129-row tile, which Mosaic
+    rejects); odd/anisotropic/partial-tile shapes all lower."""
+    import jax
+    import jax.numpy as jnp
+
+    cases = [
+        dict(shape=(48, 40), scale=(3, 1), a=2),
+        dict(shape=(30, 40), out_shape=(90, 80), a=3),
+        dict(shape=(100, 136), scale=(2, 1), a=3),
+        dict(shape=(129, 131), scale=(2, 1), a=3),
+    ]
+    for c in cases:
+        kw = {k: v for k, v in c.items() if k not in ("shape",)}
+        cfg = ResampleConfig.from_profile(Profile.PRECISE, c["shape"], **kw)
+        ops = PallasOps(cfg, interpret=True)
+        assert ops.v2
+        assert ops.pv.tile_out % 8 == 0 or ops.pv.num_tiles == 1
+        img = rng.integers(0, 256, size=(3, *c["shape"]), dtype=np.uint8)
+        out = np.asarray(
+            jax.jit(lambda x, o=ops: upscale_planar(x, o))(jnp.asarray(img))
+        )
+        ref = np.asarray(Upscaler(cfg, backend="xla")(np.moveaxis(img, 0, -1)))
+        np.testing.assert_array_equal(out, np.moveaxis(ref, -1, 0))
