@@ -88,8 +88,6 @@ class ShardedUpscaler:
         rows_axis: str = "rows",
         dtype=jnp.float32,
     ):
-        if cfg.c_faithful:
-            raise NotImplementedError("sharded c_faithful mode not supported")
         self.cfg = cfg
         self.mesh = mesh
         self.data_axis = data_axis
@@ -117,7 +115,61 @@ class ShardedUpscaler:
                 jnp.asarray(arr), NamedSharding(mesh, spec_tbl)
             )
 
-        if self.fixed:
+        self.c_exact = cfg.c_faithful and not self.fixed
+        if self.c_exact:
+            from lanczos_tpu.ops.c_exact import CExactOps
+
+            n, d = cfg.scale_h
+            if n < d:
+                raise NotImplementedError("sharded c_faithful downscale")
+            self.cx = CExactOps(cfg)
+            self.halo = cfg.a
+            if self.halo > self.in_h_local:
+                raise ValueError(
+                    f"halo {self.halo} exceeds {self.in_h_local} rows per "
+                    "shard; use fewer shards"
+                )
+            # the oracle's in-place quirk rows read final rows above
+            # themselves: statically verify every row a fix row touches is
+            # resident on the fix row's owner shard (true unless shards
+            # are tiny)
+            for y in self.cx.fix_rows:
+                owner = y // self.out_h_local
+                for i in self.cx.tbl_v.idx[y]:
+                    i = int(i)
+                    if i > y and i // self.out_h_local != owner:
+                        raise ValueError(
+                            "c_faithful fix rows cross shard boundaries; "
+                            "use fewer shards"
+                        )
+                    if i <= y and not (
+                        0
+                        <= i - (owner * self.in_h_local - self.halo)
+                        < self.in_h_local + 2 * self.halo
+                    ):
+                        raise ValueError(
+                            "c_faithful fix-row taps exceed the halo; "
+                            "use fewer shards"
+                        )
+            tv = self.cx.tbl_v
+            with jax.enable_x64(True):  # int64 lattice weights must not
+                # silently truncate to int32 at device_put
+                self._tables = (
+                    put_tbl(tv.idx),
+                    put_tbl(tv.w50),
+                    put_tbl(tv.w70),
+                    jax.device_put(
+                        jnp.asarray(tv.is_walk),
+                        NamedSharding(mesh, P(rows_axis)),
+                    ),
+                    jax.device_put(
+                        jnp.asarray(tv.center),
+                        NamedSharding(mesh, P(rows_axis)),
+                    ),
+                )
+            shard_fn = self._shard_fn_c_exact
+            tbl_specs = (spec_tbl,) * 3 + (P(rows_axis),) * 2
+        elif self.fixed:
             from lanczos_tpu.ops.fixed_point import HLSOps
 
             self.hls = HLSOps.build(cfg)
@@ -225,6 +277,49 @@ class ShardedUpscaler:
             axis=2,
         )
 
+    def _shard_fn_c_exact(self, x, idx_v, w50_v, w70_v, walk_v, cen_v):
+        """Bit-exact c_faithful path, row-sharded (ops/c_exact.py on shards).
+
+        The width pass is row-local (global tables, no comm).  The height
+        pass exchanges ``a`` rows of the uint8 intermediate and applies the
+        locally-rebased exact pass; the oracle's in-place quirk rows are
+        then recomputed on their (statically verified) owner shard and
+        merged with a ``where`` — other shards compute a discarded copy,
+        keeping the program SPMD.
+        """
+        from lanczos_tpu.ops.c_exact import (
+            _AxisTables,
+            _exact_pass_axis0,
+            _exact_single_row,
+        )
+
+        r = jax.lax.axis_index(self.rows_axis)
+        # width pass (axis 2), tables global/replicated
+        mid = jnp.moveaxis(
+            _exact_pass_axis0(jnp.moveaxis(x, 2, 0), self.cx.tbl_h), 0, 2
+        )
+        # height pass over halo-extended intermediate
+        ext = halo_exchange_rows(mid, self.halo, self.rows_axis, axis=1)
+        local_idx = idx_v - (r * self.in_h_local - self.halo)
+        tblv = _AxisTables(local_idx, w50_v, w70_v, walk_v, cen_v, cen_v)
+        extT = jnp.moveaxis(ext, 1, 0)  # (in_local+2h, B, OW, C)
+        F = _exact_pass_axis0(extT, tblv)  # (out_local, B, OW, C)
+        for y in self.cx.fix_rows:  # static, descending
+            owner = y // self.out_h_local
+            ly = y % self.out_h_local
+            srcs = []
+            for i in self.cx.tbl_v.idx[y]:
+                i = int(i)
+                if i > y:
+                    srcs.append(F[i - owner * self.out_h_local])
+                else:
+                    srcs.append(
+                        extT[i - (owner * self.in_h_local - self.halo)]
+                    )
+            new = _exact_single_row(y, srcs, self.cx.tbl_v)
+            F = F.at[ly].set(jnp.where(r == owner, new, F[ly]))
+        return jnp.moveaxis(F, 0, 1)
+
     def _edge_pad_rows(self, v, s: int, top: bool):
         """Edge-mode pad rows for the first/last shard's invalid halo."""
         mode = self.cfg.edge_mode
@@ -318,4 +413,7 @@ class ShardedUpscaler:
             img,
             NamedSharding(self.mesh, P(self.data_axis, self.rows_axis, None, None)),
         )
+        if self.c_exact:  # int64 lattice arithmetic needs a local x64 scope
+            with jax.enable_x64(True):
+                return self._fn(img, *self._tables)
         return self._fn(img, *self._tables)

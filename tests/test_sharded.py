@@ -119,3 +119,30 @@ def test_sharded_halo_exceeding_shard_raises(rng):
     )
     with pytest.raises(ValueError, match="halo"):
         ShardedUpscaler(cfg, mesh)
+
+
+@pytest.mark.parametrize(
+    "a,scale,hw,mesh_shape",
+    [
+        (2, (2, 1), (32, 24), (2, 4)),
+        (3, (2, 1), (64, 32), (1, 4)),
+        (2, (3, 2), (48, 24), (1, 4)),
+        (3, (3, 1), (48, 32), (2, 2)),
+    ],
+)
+def test_sharded_c_faithful_bit_exact(rng, a, scale, hw, mesh_shape):
+    """Round 2: the c_faithful (c_oracle) profile sharded over rows is
+    bit-exact vs the host oracle — the width pass is row-local, the height
+    pass exchanges an a-row halo of the uint8 intermediate, and the
+    in-place quirk rows are recomputed on their owner shard."""
+    from lanczos_tpu.ref.oracle import c_oracle_upscale
+
+    mesh = jax.make_mesh(mesh_shape, ("data", "rows"))
+    cfg = ResampleConfig.from_profile("c_oracle", hw, scale=scale, a=a)
+    sh = ShardedUpscaler(cfg, mesh)
+    imgs = rng.integers(0, 256, size=(mesh_shape[0], *hw, 3), dtype=np.uint8)
+    out = np.asarray(sh(imgs))
+    for b in range(mesh_shape[0]):
+        np.testing.assert_array_equal(
+            out[b], c_oracle_upscale(imgs[b], *cfg.out_shape, a)
+        )
