@@ -21,6 +21,13 @@ table is itself row-sharded, and each shard rebases indices by its offset
 global indices never reach the (wrap-around, invalid) halo of the first/last
 shard, so a plain ring ppermute is sufficient — no special-casing at the
 mesh boundary.
+
+Design note: the float non-shift path deliberately stays on the gather
+formulation (NOT the faster blocked-matmul backend) so sharded output is
+BIT-IDENTICAL to the single-chip xla backend — the matmul's different
+f32 summation order flips occasional truncation boundaries, and the
+exactness guarantee (tested in test_sharded.py) is worth more here than
+throughput we cannot benchmark on one chip.
 """
 
 from __future__ import annotations
