@@ -65,11 +65,16 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
 
 def _force(out) -> None:
     """Force one element of a (possibly nested) device output to host —
-    the only reliable completion barrier on the tunneled backend."""
+    the only reliable completion barrier on the tunneled backend.
+
+    Indexes a single scalar (NOT ravel: relayouting a large uint8 array
+    for ravel pads the minor dim to the tile size — a 42x HBM copy that
+    OOMs on batch outputs)."""
     import numpy as np
 
     leaves = jax.tree_util.tree_leaves(out)
-    np.asarray(jax.numpy.ravel(leaves[0])[:1])
+    leaf = leaves[0]
+    np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 
 def readback_cost(samples: int = 3) -> float:
