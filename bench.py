@@ -67,16 +67,9 @@ def main():
     cfg = ResampleConfig.from_profile(
         Profile.PRECISE, in_shape, out_shape=out_shape, a=a
     )
-    backend = "auto"
-    if jax.default_backend() not in ("cpu",):
-        from lanczos_tpu.ops.resample_pallas import PallasOps
-
-        # the fused transpose-free Pallas kernel (v2) is the fastest
-        # fp32-exact single-chip path (≈2× the shift-FMA XLA pipeline at
-        # 4K→8K under honest queue-drained timing) — use it when eligible
-        if PallasOps(cfg).v2:
-            backend = "pallas"
-    model = Upscaler(cfg, backend=backend)
+    # "auto" picks the fused Pallas v2 kernel on TPU (fastest fp32-exact
+    # path for integer upscales) and shift_xla on CPU smoke runs
+    model = Upscaler(cfg, backend="auto")
 
     rng = np.random.default_rng(0)
     if model.backend == "shift_xla":

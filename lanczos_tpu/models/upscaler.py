@@ -8,14 +8,17 @@ reference bakes one (dims, scale, a, precision) combination per bitstream
 via ``params.h``, here each config is one jit cache entry.
 
 Backends:
-- ``"shift_xla"``: strided shift-FMA (fastest; needs N ≤ 32 phases).
+- ``"pallas"``: fused VMEM-tiled Mosaic kernels (ops/resample_pallas.py)
+  — the fastest fp32-exact path on TPU for integer upscales (auto-picked
+  there); interpret-mode only on CPU.
+- ``"shift_xla"``: strided shift-FMA (fastest pure-XLA path; needs
+  N ≤ 32 phases).
 - ``"block"``: blocked banded matmul on the MXU
   (ops/resample_block_xla.py) — any linear config, any N/D; the default
   fallback when shift is ineligible.
 - ``"xla"``: gather-based separable passes (ops/resample_xla.py) — the
   portable reference path, also used for HLS-faithful fixed point.
 - ``"c_exact"``: bit-exact fp64-emulating integer path for c_faithful.
-- ``"pallas"``: fused VMEM-tiled kernels (ops/resample_pallas.py).
 - ``"ref"``: NumPy oracle on host (testing only).
 """
 
@@ -77,17 +80,28 @@ def _block_eligible(cfg: ResampleConfig) -> bool:
     return cfg.precision != Precision.FIXED and not cfg.c_faithful
 
 
-def _pallas_eligible(cfg: ResampleConfig) -> bool:
-    """Whether the fused Pallas kernel covers this config on a TPU backend.
+def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
+    """Whether ``auto`` should route this config to the fused Pallas kernel.
 
-    Unsupported there (falls back to XLA): the fixed-point HLS path, the
-    dering clamp with rational scales, the c-faithful in-place quirk, and
-    non-TPU default devices (the kernel targets Mosaic; interpret mode is
-    test-only).
+    True only where the transpose-free v2 kernel applies — integer upscale
+    factors ≤ 16 on both axes (covering the flagship 2×/3×/4× configs) —
+    on a real TPU backend; there it is the fastest fp32-exact path
+    (~2× the shift-FMA XLA pipeline at 4K→8K under queue-drained timing).
+    The v1 fused kernel (rational scales) loses to shift/block, and the
+    CPU interpreter is test-only, so neither is auto-picked.  Always
+    excluded (PallasOps raises): the fixed-point HLS path, c_faithful,
+    drop-edge with normalization/dering, quantized intermediates.
     """
-    if cfg.precision == Precision.FIXED or cfg.dering or cfg.c_faithful:
+    from lanczos_tpu.core.config import EdgeMode
+
+    if cfg.precision == Precision.FIXED or cfg.c_faithful:
         return False
     if cfg.intermediate_quantize:
+        return False
+    if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
+        return False
+    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
+    if not (dv == 1 and dh == 1 and nv <= 16 and nh <= 16):
         return False
     return jax.default_backend() not in ("cpu",)
 
@@ -101,7 +115,9 @@ class Upscaler:
     ):
         self.cfg = cfg
         if backend == "auto":
-            if _shift_eligible(cfg):
+            if _pallas_auto_eligible(cfg):
+                backend = "pallas"
+            elif _shift_eligible(cfg):
                 backend = "shift_xla"
             elif _block_eligible(cfg):
                 backend = "block"

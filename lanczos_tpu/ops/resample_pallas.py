@@ -108,13 +108,15 @@ def _plan_axis(
             n, _round_up(min(tile_target, _round_up(out_size, n)), n)
         )
     stride = tile_out * d // n
-    if align == 128 and tile_out < out_size and stride % 128:
+    if align == 128 and tile_out < out_size and (stride % 128 or tile_out % 128):
         # the lane (width) axis: the in-kernel chunk slice offset is
         # j·stride, which Mosaic can only lower when 128-aligned (or when
-        # there is a single chunk and the slice is static).  Grow the tile
-        # until the stride aligns, or collapse to one chunk.
+        # there is a single chunk and the slice is static), and the output
+        # block's lane extent tile_out must itself be 128-divisible unless
+        # it spans the whole axis.  Grow the tile until both align, or
+        # collapse to one chunk.
         t = tile_out
-        while t < out_size and (t * d // n) % 128:
+        while t < out_size and ((t * d // n) % 128 or t % 128):
             t += n
         tile_out = max(n, _round_up(min(t, _round_up(out_size, n)), n))
         stride = tile_out * d // n
@@ -178,7 +180,9 @@ class PallasOps:
             self.pv = _plan_axis(ih, oh, cfg.a, 128, align=32, tile_mult=8)
             self.ph = _plan_axis(iw, ow, cfg.a, ow, align=128)
         else:
-            self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32)
+            # row tiles are output-block sublanes: must be 8-divisible (or
+            # span the axis) for Mosaic's block-shape rule, same as v2
+            self.pv = _plan_axis(ih, oh, cfg.a, tile_h, align=32, tile_mult=8)
             self.ph = _plan_axis(iw, ow, cfg.a, tile_w, align=128)
         # Shift-FMA variant: for integer upscales (D == 1) every output
         # phase is a sum of 2a UNIT-STRIDE shifted slices of the slab
@@ -236,19 +240,25 @@ class PallasOps:
         alignment/overrun padding (never read by valid outputs)."""
         pv, ph = self.pv, self.ph
         lead = [(0, 0)] * (x.ndim - 2)
-        edge = lead + [(pv.support, pv.support), (ph.support, ph.support)]
-        if self.pad_mode == "constant":
-            x = jnp.pad(x, edge, mode="constant")
-        else:
-            x = jnp.pad(x, edge, mode=self.pad_mode)
-        extra_h = pv.in_pad_total - x.shape[-2]
-        extra_w = ph.in_pad_total - x.shape[-1]
-        if extra_h > 0 or extra_w > 0:
-            x = jnp.pad(
-                x, lead + [(0, max(extra_h, 0)), (0, max(extra_w, 0))],
-                mode="constant",
-            )
-        return x
+        # one fused pad: the alignment/overrun region beyond the support
+        # halo is never read by valid outputs, so its values don't matter —
+        # folding it into the edge pad saves a second whole-image copy
+        # (reflect can't extend past the image, so it keeps two pads)
+        extra_h = max(pv.in_pad_total - (x.shape[-2] + 2 * pv.support), 0)
+        extra_w = max(ph.in_pad_total - (x.shape[-1] + 2 * ph.support), 0)
+        both = lead + [
+            (pv.support, pv.support + extra_h),
+            (ph.support, ph.support + extra_w),
+        ]
+        if self.pad_mode == "reflect":
+            edge = lead + [(pv.support, pv.support), (ph.support, ph.support)]
+            x = jnp.pad(x, edge, mode="reflect")
+            if extra_h or extra_w:
+                x = jnp.pad(
+                    x, lead + [(0, extra_h), (0, extra_w)], mode="constant"
+                )
+            return x
+        return jnp.pad(x, both, mode=self.pad_mode)
 
 
 def _shift_pass(x, plan, tbl, dering: bool = False, off: int = 0):
@@ -351,14 +361,14 @@ def _fused_kernel(
     # Mosaic has no direct u8->float casts; hop through int32.  The
     # chunk's lane offset j·stride must be static (single chunk) or
     # 128-aligned (_plan_axis guarantees the latter); the dynamic slot
-    # index is avoided by loading both slots and selecting.
+    # index is avoided by loading both slots and selecting — on the RAW
+    # u8 values, so the int32 widening runs once, not per slot (measured
+    # ~5% faster at 4K→8K, bit-exact).
     if ph.num_tiles == 1:
         sl = slice(0, ph.k_pad)
     else:
         sl = pl.ds(pl.multiple_of(j * ph.stride_in, 128), ph.k_pad)
-    x0 = band[0, :, sl].astype(jnp.int32)
-    x1 = band[1, :, sl].astype(jnp.int32)
-    xi = jnp.where(slot == 0, x0, x1)
+    xi = jnp.where(slot == 0, band[0, :, sl], band[1, :, sl]).astype(jnp.int32)
 
     # ---- vertical pass ----
     if ops.v_shift:
@@ -433,9 +443,9 @@ def _fused_kernel_v2(img_ref, out_ref, band, sems, *, ops: PallasOps):
 
     dma_for(band_lin, slot).wait()
 
-    x0 = band[0].astype(jnp.int32)
-    x1 = band[1].astype(jnp.int32)
-    xi = jnp.where(slot == 0, x0, x1).astype(jnp.float32)
+    # select on the raw u8 slots, then widen once (~5% faster, bit-exact)
+    xi = jnp.where(slot == 0, band[0], band[1]).astype(jnp.int32)
+    xi = xi.astype(jnp.float32)
 
     mid = _shift_pass(xi, pv, ops.tbl_v, ops.cfg.dering, ops.off_v)
 

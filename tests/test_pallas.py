@@ -142,3 +142,27 @@ def test_v2_tile_plan_alignment(rng):
         )
         ref = np.asarray(Upscaler(cfg, backend="xla")(np.moveaxis(img, 0, -1)))
         np.testing.assert_array_equal(out, np.moveaxis(ref, -1, 0))
+
+
+def test_v1_tile_plan_alignment():
+    """Mosaic's output-block rule (sublanes %8, lanes %128, unless the
+    block spans the axis) must hold for the v1 (rational-scale) planner
+    too (regression: 256x384 x3/2 planned a 258-row tile and a 576-lane
+    tile over a 576-wide axis — the former crashed lowering on hardware)."""
+    cases = [
+        ((256, 384), (384, 576), 2),   # the observed crash
+        ((2160, 3840), (3240, 5760), 3),  # 4K x3/2
+        ((720, 960), (1008, 1344), 3),  # x7/5
+        ((300, 500), (180, 300), 2),   # downscale x3/5
+        ((64, 4096), (96, 6144), 2),   # wide: multiple column tiles
+    ]
+    for in_shape, out_shape, a in cases:
+        cfg = ResampleConfig.from_profile(
+            Profile.PRECISE, in_shape, out_shape=out_shape, a=a
+        )
+        ops = PallasOps(cfg, interpret=True)
+        pv, ph = ops.pv, ops.ph
+        assert pv.tile_out % 8 == 0 or pv.num_tiles == 1, (in_shape, out_shape)
+        assert ph.tile_out % 128 == 0 or ph.num_tiles == 1, (in_shape, out_shape)
+        if ph.num_tiles > 1:
+            assert ph.stride_in % 128 == 0, (in_shape, out_shape)
