@@ -67,8 +67,9 @@ def main():
     cfg = ResampleConfig.from_profile(
         Profile.PRECISE, in_shape, out_shape=out_shape, a=a
     )
-    # "auto" picks the fused Pallas v2 kernel on TPU (fastest fp32-exact
-    # path for integer upscales) and shift_xla on CPU smoke runs
+    # "auto" picks the fused Pallas MXU variant on TPU (both passes as
+    # bf16-split dense matmuls; fastest path for integer upscales) and
+    # shift_xla on CPU smoke runs
     model = Upscaler(cfg, backend="auto")
 
     rng = np.random.default_rng(0)

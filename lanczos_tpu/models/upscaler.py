@@ -83,14 +83,18 @@ def _block_eligible(cfg: ResampleConfig) -> bool:
 def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
     """Whether ``auto`` should route this config to the fused Pallas kernel.
 
-    True only where the transpose-free v2 kernel applies — integer upscale
-    factors ≤ 16 on both axes (covering the flagship 2×/3×/4× configs) —
-    on a real TPU backend; there it is the fastest fp32-exact path
-    (~2× the shift-FMA XLA pipeline at 4K→8K under queue-drained timing).
-    The v1 fused kernel (rational scales) loses to shift/block, and the
-    CPU interpreter is test-only, so neither is auto-picked.  Always
-    excluded (PallasOps raises): the fixed-point HLS path, c_faithful,
-    drop-edge with normalization/dering, quantized intermediates.
+    True only where the fused integer-upscale kernels apply — factors ≤ 16
+    on both axes (covering the flagship 2×/3×/4× configs) — on a real TPU
+    backend; there the MXU variant (both passes as dense bf16-split
+    matmuls, PallasOps variant="auto") is the fastest path (~3× the v2
+    shift-FMA kernel at 4K→8K under queue-drained timing), with v2 taking
+    the dering configs.  The v1 fused kernel (rational scales) loses to
+    shift/block, and the CPU interpreter is test-only, so neither is
+    auto-picked.  Drop-edge with normalization requires per-row
+    renormalized weights: only the MXU variant expresses it, so it is
+    eligible exactly when the MXU plan exists.  Always excluded (PallasOps
+    raises): the fixed-point HLS path, c_faithful, drop-edge dering,
+    quantized intermediates.
     """
     from lanczos_tpu.core.config import EdgeMode
 
@@ -98,12 +102,18 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
         return False
     if cfg.intermediate_quantize:
         return False
-    if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
+    if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
         return False
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
     if not (dv == 1 and dh == 1 and nv <= 16 and nh <= 16):
         return False
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return False
+    if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
+        from lanczos_tpu.ops.resample_pallas import _mxu_plan
+
+        return _mxu_plan(cfg) is not None
+    return True
 
 
 class Upscaler:

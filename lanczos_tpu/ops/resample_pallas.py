@@ -137,6 +137,133 @@ _PAD_MODE = {
 }
 
 
+@dataclasses.dataclass
+class _MXUPlan:
+    """Plan for the MXU fused variant (v3): both passes as dense matmuls.
+
+    Works on the UNPADDED image — edge handling (clamp/drop/reflect and
+    per-row normalization) is folded into the weight matrices built from
+    :func:`banded_weights`, so the ~0.7 ms whole-image ``jnp.pad`` and the
+    v2 phase-plane interleave transpose (~1.1 ms at 4K→8K) both disappear.
+
+    Vertical: output rows tiled by ``tile_out``; tile ``i`` reads input rows
+    ``[start_i, start_i + kv)`` (starts clipped into the image) and applies
+    a per-tile dense ``(tile_out, kv)`` matrix, delivered to the kernel via
+    a pipelined BlockSpec (edge tiles' matrices differ, interior repeat).
+
+    Horizontal: output cols in blocks of ``cb = lcm(N_h, 128)``; block ``b``
+    multiplies ``mid[:, start_b : start_b + kh]`` by a dense ``(kh, cb)``
+    matrix.  Interior blocks share one matrix (the phase-LUT invariance,
+    kernel.cpp:50-59); matrices are deduped and indexed statically by the
+    unrolled block loop, and the interleaved uint8 output block is written
+    directly — no post-kernel transpose.
+    """
+
+    tile_out: int
+    stride: int
+    kv: int
+    num_tiles: int
+    ih_eff: int  # input rows after bottom zero-pad (= ih unless kv > ih)
+    starts_v: tuple  # per-tile input row starts
+    cb: int
+    kh: int
+    n_cb: int
+    starts_h: tuple  # per-block input col starts
+    uniq_h: tuple  # per-block index into the deduped horizontal matrices
+    wv: np.ndarray  # (num_tiles, tile_out, kv) f64, bf16-split at init
+    wh: np.ndarray  # (n_uniq, kh, cb) f64
+
+
+def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
+    """Build the MXU-variant plan, or None where it does not apply
+    (rational scales, dering, huge phase counts, or images smaller than
+    one contraction window)."""
+    from lanczos_tpu.core.weights import banded_weights
+
+    (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
+    (nv, dv), (nh, dh) = reduced_scale(ih, oh), reduced_scale(iw, ow)
+    if not (dv == 1 and dh == 1 and nv <= 16 and nh <= 16):
+        return None
+    if cfg.dering:  # needs per-tap values; shift-FMA (v2) keeps it
+        return None
+    a, s = cfg.a, cfg.a  # integer upscale → support == a
+    kw = dict(
+        a=cfg.a, filter_name=cfg.filter, edge_mode=cfg.edge_mode,
+        normalize=cfg.normalize, coord_mode="exact", align=cfg.align.value,
+    )
+    op_v = banded_weights(ih, oh, **kw)
+    op_h = banded_weights(iw, ow, **kw)
+
+    # ---- vertical tiling ----
+    lcm_v = nv * 8 // math.gcd(nv, 8)
+    whole = _round_up(oh, lcm_v)
+    tile = max(lcm_v, (min(tile_h, whole) // lcm_v) * lcm_v)
+    if tile >= whole:
+        tile = whole
+    stride = tile * dv // nv
+    # Mosaic DMA slice rules: the sublane extent AND the dynamic sublane
+    # start must be 8-aligned (the kernel recomputes the same floored
+    # start under a pl.multiple_of hint).  +7 covers the flooring; when
+    # the window exceeds the image, the call pads zero rows at the bottom
+    # (never read: the weight windows stay within real rows).
+    kv = _round_up(min(stride + 2 * s + 8, ih), 8)
+    ih_eff = max(ih, kv)
+    num = -(-oh // tile)
+    starts_v, wv = [], np.zeros((num, tile, kv), np.float64)
+    for i in range(num):
+        lo, hi = i * tile, min((i + 1) * tile, oh)
+        start = (min(max(i * stride - (s - 1), 0), ih_eff - kv) // 8) * 8
+        band_idx = op_v.idx[lo:hi] - start
+        if band_idx.min() < 0 or band_idx.max() >= kv:
+            return None  # window cannot cover this tile (tiny image)
+        np.add.at(
+            wv[i],
+            (np.arange(hi - lo)[:, None], band_idx),
+            op_v.weights[lo:hi],
+        )
+        starts_v.append(start)
+
+    # ---- horizontal blocks ----
+    cb = nh * 128 // math.gcd(nh, 128)
+    stride_h = cb * dh // nh
+    kh = min(_round_up(stride_h + 2 * s + 1, 8), iw)
+    n_cb = -(-ow // cb)
+    starts_h, mats = [], []
+    for b in range(n_cb):
+        lo, hi = b * cb, min((b + 1) * cb, ow)
+        start = min(max(b * stride_h - (s - 1), 0), iw - kh)
+        band_idx = op_h.idx[lo:hi] - start
+        if band_idx.min() < 0 or band_idx.max() >= kh:
+            return None
+        W = np.zeros((kh, cb), np.float64)
+        np.add.at(
+            W, (band_idx, np.arange(hi - lo)[:, None]), op_h.weights[lo:hi]
+        )
+        starts_h.append(start)
+        mats.append(W)
+    uniq, uniq_h = [], []
+    for W in mats:
+        for u, U in enumerate(uniq):
+            if np.array_equal(W, U):
+                uniq_h.append(u)
+                break
+        else:
+            uniq_h.append(len(uniq))
+            uniq.append(W)
+    return _MXUPlan(
+        tile_out=tile, stride=stride, kv=kv, num_tiles=num, ih_eff=ih_eff,
+        starts_v=tuple(starts_v), cb=cb, kh=kh, n_cb=n_cb,
+        starts_h=tuple(starts_h), uniq_h=tuple(uniq_h),
+        wv=wv, wh=np.stack(uniq),
+    )
+
+
+def _split_bf16(w: np.ndarray):
+    hi = jnp.asarray(w, jnp.bfloat16)
+    lo = jnp.asarray(w - np.asarray(hi, np.float64), jnp.bfloat16)
+    return hi, lo
+
+
 class PallasOps:
     """Precomputed plan + weight matrices for one fused 2D resample config."""
 
@@ -147,6 +274,7 @@ class PallasOps:
         tile_h: int = 256,
         tile_w: int = 1024,
         interpret: bool = False,
+        variant: str = "auto",
     ):
         if cfg.precision == Precision.FIXED:
             raise NotImplementedError("use ops.fixed_point for the HLS path")
@@ -154,13 +282,44 @@ class PallasOps:
         # the shift-FMA variant on both axes)
         if cfg.c_faithful:
             raise NotImplementedError("c_faithful is XLA/ref-backend only")
-        if cfg.edge_mode == EdgeMode.DROP and (cfg.normalize or cfg.dering):
-            raise NotImplementedError(
-                "drop-edge with normalization or dering is gather-path "
-                "only (zero padding cannot reproduce either)"
-            )
         self.cfg = cfg
         self.interpret = interpret
+        # ---- MXU variant (v3): both passes as dense MXU matmuls on the
+        # UNPADDED image; fastest fused path on real TPUs (~2x v2 at
+        # 4K→8K).  Float summation order differs from the shift paths, so
+        # outputs may differ by 1 ulp where a value sits on a truncation
+        # boundary — "auto" picks it only on non-CPU backends; v2 remains
+        # the bit-exact-vs-shift_xla kernel.
+        if variant not in ("auto", "mxu", "v1", "v2"):
+            raise ValueError(f"unknown Pallas variant {variant!r}")
+        self.mxu = None
+        if variant in ("auto", "mxu"):
+            self.mxu = _mxu_plan(cfg, tile_h if variant == "mxu" else 128)
+            if variant == "mxu" and self.mxu is None:
+                raise NotImplementedError(
+                    "MXU variant needs integer upscale factors <= 16, no "
+                    "dering, and an image at least one contraction window "
+                    "wide/tall"
+                )
+            if variant == "auto" and (
+                interpret or jax.default_backend() == "cpu"
+            ):
+                self.mxu = None  # CPU runs are tests: keep v2 semantics
+        if self.mxu is not None:
+            self.split = cfg.precision != Precision.BF16
+            self.mxu_wv = _split_bf16(self.mxu.wv)
+            self.mxu_wh = _split_bf16(self.mxu.wh)
+        if cfg.edge_mode == EdgeMode.DROP and cfg.normalize and self.mxu is None:
+            raise NotImplementedError(
+                "drop-edge with normalization needs the MXU variant "
+                "(per-row renormalized weights); zero padding cannot "
+                "reproduce it in the shift/banded kernels"
+            )
+        if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
+            raise NotImplementedError(
+                "drop-edge dering clamps against edge-clamped tap values — "
+                "gather path only"
+            )
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
         # Numerics: uint8 pixels are EXACT in bf16 (integers ≤ 255 fit in
         # its 8 significand bits) and bf16×bf16 products accumulate in f32
@@ -470,6 +629,134 @@ def _fused_kernel_v2(img_ref, out_ref, band, sems, *, ops: PallasOps):
         out_ref[0, p] = q.astype(jnp.uint8)
 
 
+def _fused_kernel_mxu(
+    img_ref, wv_hi, wv_lo, wh_hi, wh_lo, out_ref, band, sems, *, ops: PallasOps
+):
+    """Grid-step body for the MXU variant: one (channel, row-tile) per step.
+
+    Both separable passes are dense matmuls (uint8 pixels are EXACT in
+    bf16; products accumulate in f32 on the MXU).  FP32 mode splits the
+    weights and the float intermediate into hi+lo bf16 parts (2 vertical +
+    3 horizontal matmuls, residual ~2⁻¹⁶ relative); BF16 mode runs single
+    matmuls.  The input row band is DMA'd double-buffered as in v2, but
+    from the UNPADDED image: edge semantics live in the weight matrices,
+    and the band start is clipped into the image (matching the plan's
+    per-tile matrices).
+    """
+    mx = ops.mxu
+    n_i = mx.num_tiles
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    band_lin = c * n_i + i
+    bands_total = pl.num_programs(0) * n_i
+    s = ops.cfg.a
+
+    def dma_for(band_idx, slot):
+        cc = band_idx // n_i
+        ii = band_idx % n_i
+        # must mirror the plan's per-tile start exactly (floored to 8 for
+        # Mosaic's dynamic-sublane-start divisibility rule)
+        raw = jnp.clip(ii * mx.stride - (s - 1), 0, mx.ih_eff - mx.kv)
+        start = pl.multiple_of((raw // 8) * 8, 8)
+        return pltpu.make_async_copy(
+            img_ref.at[cc, pl.ds(start, mx.kv), :],
+            band.at[slot],
+            sems.at[slot],
+        )
+
+    slot = band_lin % 2
+
+    @pl.when(band_lin == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(band_lin + 1 < bands_total)
+    def _():
+        dma_for(band_lin + 1, (band_lin + 1) % 2).start()
+
+    dma_for(band_lin, slot).wait()
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # select on the raw u8 slots, then widen once (no u8->float in Mosaic:
+    # hop through int32; integers <= 255 are exact in bf16)
+    xb = jnp.where(slot == 0, band[0], band[1]).astype(jnp.int32)
+    xb = xb.astype(jnp.bfloat16)
+
+    mid = dot(wv_hi[0], xb)
+    if ops.split:
+        mid = mid + dot(wv_lo[0], xb)
+    m_hi = mid.astype(jnp.bfloat16)
+    if ops.split:
+        m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    for b in range(mx.n_cb):
+        st = mx.starts_h[b]
+        u = mx.uniq_h[b]
+        xh = m_hi[:, st : st + mx.kh]
+        acc = dot(xh, wh_hi[u])
+        if ops.split:
+            acc = acc + dot(m_lo[:, st : st + mx.kh], wh_hi[u])
+            acc = acc + dot(xh, wh_lo[u])
+        q = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+        out_ref[0, :, b * mx.cb : (b + 1) * mx.cb] = q.astype(jnp.uint8)
+
+
+def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
+    """(NC, H, W) uint8 UNPADDED planar → (NC, OH, OW) uint8, MXU variant."""
+    mx = ops.mxu
+    nc, ih, w = img_planar.shape
+    # zero-pad to the DMA alignment rules (8-sublane rows / 128-lane cols;
+    # Mosaic rejects unaligned slice extents).  The pad is never read by
+    # valid outputs — edge semantics live in the weights — and is a no-op
+    # at aligned sizes (e.g. the 4K flagship).
+    w_eff = _round_up(w, 128)
+    if mx.ih_eff > ih or w_eff > w:
+        img_planar = jnp.pad(
+            img_planar, ((0, 0), (0, mx.ih_eff - ih), (0, w_eff - w))
+        )
+    oh, ow = ops.cfg.out_shape
+    oh_pad = mx.num_tiles * mx.tile_out
+    ow_pad = mx.n_cb * mx.cb
+    wv_hi, wv_lo = ops.mxu_wv
+    wh_hi, wh_lo = ops.mxu_wh
+    kernel = functools.partial(_fused_kernel_mxu, ops=ops)
+    nu = wh_hi.shape[0]
+    y = pl.pallas_call(
+        kernel,
+        grid=(nc, mx.num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                (1, mx.tile_out, mx.kv),
+                lambda c, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 2
+        + [
+            pl.BlockSpec(
+                (nu, mx.kh, mx.cb),
+                lambda c, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 2,
+        out_specs=pl.BlockSpec(
+            (1, mx.tile_out, ow_pad),
+            lambda c, i: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nc, oh_pad, ow_pad), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2, mx.kv, w_eff), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=ops.interpret,
+    )(img_planar, wv_hi, wv_lo, wh_hi, wh_lo)
+    return y[:, :oh, :ow]
+
+
 def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
     """(NC, Hp, Wp) uint8 padded planar → (NC, OH, OW) uint8, v2 kernel."""
     pv, ph = ops.pv, ops.ph
@@ -549,8 +836,11 @@ def upscale_planar(img: jnp.ndarray, ops: PallasOps) -> jnp.ndarray:
     x = img if batched else img[None]
     b, c = x.shape[0], x.shape[1]
     x = x.reshape(b * c, *x.shape[2:])
-    x = ops.pad_input(x)
-    y = _fused_call_v2(ops, x) if ops.v2 else _fused_call(ops, x)
+    if ops.mxu is not None:  # edge handling folded into weights: no pad
+        y = _fused_call_mxu(ops, x)
+    else:
+        x = ops.pad_input(x)
+        y = _fused_call_v2(ops, x) if ops.v2 else _fused_call(ops, x)
     y = y.reshape(b, c, *cfg.out_shape)
     return y if batched else y[0]
 

@@ -144,6 +144,89 @@ def test_v2_tile_plan_alignment(rng):
         np.testing.assert_array_equal(out, np.moveaxis(ref, -1, 0))
 
 
+@pytest.mark.parametrize("scale", [(2, 1), (3, 1)])
+def test_mxu_matches_xla_upscale(rng, scale, small_img):
+    """MXU variant (dense bf16-split matmuls, unpadded input) vs gather."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=scale, a=3
+    )
+    ref = np.asarray(Upscaler(cfg, backend="xla")(small_img))
+    out = _run_pallas(cfg, small_img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.02
+
+
+@pytest.mark.parametrize(
+    "edge, normalize",
+    [
+        (EdgeMode.CLAMP, True),
+        (EdgeMode.REFLECT, True),
+        (EdgeMode.DROP, False),
+        (EdgeMode.DROP, True),  # fused drop+normalize: MXU-only capability
+    ],
+)
+def test_mxu_edge_modes(rng, edge, normalize, small_img):
+    """Edge semantics live in the per-tile/per-block weight matrices (no
+    input padding) — including drop+normalize, which no padded kernel can
+    express (per-row renormalization over surviving taps)."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, small_img.shape[:2], scale=(2, 1), a=3,
+        edge_mode=edge, normalize=normalize,
+    )
+    ref = np.asarray(Upscaler(cfg, backend="xla")(small_img))
+    out = _run_pallas(cfg, small_img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1
+
+
+def test_mxu_batched_planar_and_partial_tiles(rng):
+    """Batched planar == interleaved; odd dims exercise the row/lane
+    alignment pads and partial output tiles."""
+    shape = (51, 45)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, shape, scale=(2, 1), a=2)
+    imgs = rng.integers(0, 256, size=(2, *shape, 3), dtype=np.uint8)
+    ops = PallasOps(cfg, interpret=True, variant="mxu")
+    planar = np.transpose(imgs, (0, 3, 1, 2)).copy()
+    out_p = np.asarray(upscale_planar(planar, ops))
+    out_i = np.asarray(resample_2d_pallas(imgs, ops))
+    np.testing.assert_array_equal(np.transpose(out_p, (0, 2, 3, 1)), out_i)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(imgs[0]))
+    assert np.abs(ref.astype(int) - out_i[0].astype(int)).max() <= 1
+
+
+def test_mxu_eligibility():
+    """Rational scales / dering raise for variant='mxu'; variant='auto'
+    keeps v2 on CPU (bit-exact test semantics preserved)."""
+    rational = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(3, 2), a=2
+    )
+    with pytest.raises(NotImplementedError):
+        PallasOps(rational, interpret=True, variant="mxu")
+    dering = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(2, 1), a=2, dering=True
+    )
+    with pytest.raises(NotImplementedError):
+        PallasOps(dering, interpret=True, variant="mxu")
+    ok = ResampleConfig.from_profile(Profile.PRECISE, (24, 20), scale=(2, 1), a=2)
+    assert PallasOps(ok, interpret=True, variant="auto").mxu is None
+    assert PallasOps(ok, interpret=True, variant="mxu").mxu is not None
+
+
+def test_mxu_horizontal_block_dedup():
+    """Interior column blocks share one matrix (phase-LUT invariance,
+    kernel.cpp:50-59): a 4K-wide 2x plan needs <= 3 distinct matrices."""
+    from lanczos_tpu.ops.resample_pallas import _mxu_plan
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+    )
+    plan = _mxu_plan(cfg)
+    assert plan is not None
+    assert plan.wh.shape[0] <= 3
+    assert plan.n_cb == 60
+
+
 def test_v1_tile_plan_alignment():
     """Mosaic's output-block rule (sublanes %8, lanes %128, unless the
     block spans the axis) must hold for the v1 (rational-scale) planner
