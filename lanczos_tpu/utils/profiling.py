@@ -96,19 +96,35 @@ def steady_time(
     fn: Callable, *args, iters: int = 50, rb_cost: Optional[float] = None
 ) -> float:
     """Honest mean seconds per call: drains the async dispatch queue with a
-    host readback before AND after the timed loop, and subtracts the
-    measured readback constant.  ``block_until_ready`` alone is a no-op on
-    the tunneled backend until the queue saturates — see time_fn."""
+    host readback (``block_until_ready`` alone is a no-op on the tunneled
+    backend until the queue saturates — see time_fn), and measures as the
+    *differential* of two drained loops of different lengths so the
+    readback constant cancels exactly.  Escalates the loop length until the
+    differential is well above readback jitter — a constant-subtraction
+    scheme broke down once kernels got faster than the ~30 ms readback
+    (elapsed − rb clamped at 0 → multi-TB/s illusions)."""
     if rb_cost is None:
         rb_cost = readback_cost()
     out = fn(*args)
     jax.block_until_ready(out)
     _force(out)  # drain everything queued so far
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _force(out)
-    return max((time.perf_counter() - t0) - rb_cost, 1e-9) / iters
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _force(out)
+        return time.perf_counter() - t0
+
+    lo, hi = max(iters // 8, 1), max(iters, 2)
+    floor = max(0.25, 10 * rb_cost)  # differential SNR target (s)
+    while True:
+        t_lo, t_hi = run(lo), run(hi)
+        delta = t_hi - t_lo
+        if delta >= floor or hi >= 20000 or t_hi > 30.0:
+            break
+        lo, hi = hi, hi * 4
+    return max(delta / (hi - lo), 1e-9)
 
 
 @dataclasses.dataclass
