@@ -197,7 +197,24 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     # ---- vertical tiling ----
     lcm_v = nv * 8 // math.gcd(nv, 8)
     whole = _round_up(oh, lcm_v)
-    tile = max(lcm_v, (min(tile_h, whole) // lcm_v) * lcm_v)
+    # Prefer a tile that divides OH exactly: a padded row grid forces a
+    # whole-output slice copy after the kernel (95 MB HBM→HBM at 4K→8K,
+    # ~0.15-0.2 ms — measured: divisor tiles 96/120 run 0.55-0.60 ms vs
+    # 0.71-0.81 ms for non-divisors 104/112/128 at 4K→8K).  Search
+    # multiples of lcm_v downward from tile_h to 64, then upward to 256;
+    # fall back to the padded grid when OH has no aligned divisor.
+    tile = 0
+    for t in range((min(tile_h, whole) // lcm_v) * lcm_v, 63, -lcm_v):
+        if oh % t == 0:
+            tile = t
+            break
+    if not tile:
+        for t in range(_round_up(tile_h + 1, lcm_v), 257, lcm_v):
+            if oh % t == 0:
+                tile = t
+                break
+    if not tile:
+        tile = max(lcm_v, (min(tile_h, whole) // lcm_v) * lcm_v)
     if tile >= whole:
         tile = whole
     stride = tile * dv // nv
