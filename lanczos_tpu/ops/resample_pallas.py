@@ -677,7 +677,7 @@ def _fused_kernel_mxu(
         start = pl.multiple_of((raw // 8) * 8, 8)
         return pltpu.make_async_copy(
             img_ref.at[cc, pl.ds(start, mx.kv), :],
-            band.at[slot],
+            band.at[pl.ds(slot * mx.kv, mx.kv)],
             sems.at[slot],
         )
 
@@ -696,10 +696,13 @@ def _fused_kernel_mxu(
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-    # select on the raw u8 slots, then widen once (no u8->float in Mosaic:
-    # hop through int32; integers <= 255 are exact in bf16)
-    xb = jnp.where(slot == 0, band[0], band[1]).astype(jnp.int32)
-    xb = xb.astype(jnp.bfloat16)
+    # the band scratch is flat (2·kv, w): slot selection is a dynamic
+    # 8-aligned sublane-offset load (Mosaic-legal, unlike dynamic leading
+    # indices on u8 refs), avoiding a jnp.where that materializes a copy
+    # of both slots; widen once (no u8->float in Mosaic: hop through
+    # int32; integers <= 255 are exact in bf16)
+    xb = band[pl.ds(pl.multiple_of(slot * mx.kv, 8), mx.kv)]
+    xb = xb.astype(jnp.int32).astype(jnp.bfloat16)
 
     mid = dot(wv_hi[0], xb)
     if ops.split:
@@ -766,7 +769,7 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         ),
         out_shape=jax.ShapeDtypeStruct((nc, oh_pad, ow_pad), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, mx.kv, w_eff), jnp.uint8),
+            pltpu.VMEM((2 * mx.kv, w_eff), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=ops.interpret,
