@@ -224,7 +224,11 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     # the window exceeds the image, the call pads zero rows at the bottom
     # (never read: the weight windows stay within real rows).
     kv = _round_up(min(stride + 2 * s + 8, ih), 8)
-    ih_eff = max(ih, kv)
+    # 8-align ih_eff (bottom zero-pad, never read by valid outputs) so the
+    # kernel's clip bound ih_eff - kv is itself 8-aligned: otherwise the
+    # floor-to-8 after the clip loses up to 7 rows and bottom tiles of
+    # odd-height images fail the coverage check below
+    ih_eff = _round_up(max(ih, kv), 8)
     num = -(-oh // tile)
     starts_v, wv = [], np.zeros((num, tile, kv), np.float64)
     for i in range(num):
@@ -736,12 +740,15 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
             img_planar, ((0, 0), (0, mx.ih_eff - ih), (0, w_eff - w))
         )
     oh, ow = ops.cfg.out_shape
-    oh_pad = mx.num_tiles * mx.tile_out
     ow_pad = mx.n_cb * mx.cb
     wv_hi, wv_lo = ops.mxu_wv
     wh_hi, wh_lo = ops.mxu_wh
     kernel = functools.partial(_fused_kernel_mxu, ops=ops)
     nu = wh_hi.shape[0]
+    # out_shape is UNPADDED: Mosaic masks the partial edge blocks (verified
+    # bit-exact on hardware), so a row grid or column blocks that overrun
+    # OH/OW cost no post-kernel slice copy (95 MB HBM→HBM at 4K→8K,
+    # ~0.2 ms when the row tile does not divide OH)
     y = pl.pallas_call(
         kernel,
         grid=(nc, mx.num_tiles),
@@ -767,14 +774,14 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
             lambda c, i: (c, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((nc, oh_pad, ow_pad), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((nc, oh, ow), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((2 * mx.kv, w_eff), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=ops.interpret,
     )(img_planar, wv_hi, wv_lo, wh_hi, wh_lo)
-    return y[:, :oh, :ow]
+    return y
 
 
 def _fused_call_v2(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
