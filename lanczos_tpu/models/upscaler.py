@@ -83,18 +83,17 @@ def _block_eligible(cfg: ResampleConfig) -> bool:
 def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
     """Whether ``auto`` should route this config to the fused Pallas kernel.
 
-    True only where the fused integer-upscale kernels apply — factors ≤ 16
-    on both axes (covering the flagship 2×/3×/4× configs) — on a real TPU
-    backend; there the MXU variant (both passes as dense bf16-split
-    matmuls, PallasOps variant="auto") is the fastest path (~3× the v2
-    shift-FMA kernel at 4K→8K under queue-drained timing), with v2 taking
-    the dering configs.  The v1 fused kernel (rational scales) loses to
-    shift/block, and the CPU interpreter is test-only, so neither is
-    auto-picked.  Drop-edge with normalization requires per-row
-    renormalized weights: only the MXU variant expresses it, so it is
-    eligible exactly when the MXU plan exists.  Always excluded (PallasOps
-    raises): the fixed-point HLS path, c_faithful, drop-edge dering,
-    quantized intermediates.
+    The MXU variant (both passes as dense bf16-split matmuls, edge
+    handling folded into per-tile weight matrices, PallasOps
+    variant="auto") covers ANY linear config — integer and rational
+    scales, antialiased downscales, drop+normalize — and is the fastest
+    path wherever its plan exists (~10× shift_xla at 4K→8K under
+    queue-drained timing), so ``auto`` asks the planner directly.  Dering
+    needs per-tap values, which only the v2 shift-FMA kernel fuses:
+    dering configs route to Pallas only for integer upscale factors ≤ 16
+    (v2's domain).  The CPU interpreter is test-only, never auto-picked.
+    Always excluded (PallasOps raises): the fixed-point HLS path,
+    c_faithful, drop-edge dering, quantized intermediates.
     """
     from lanczos_tpu.core.config import EdgeMode
 
@@ -104,16 +103,14 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
         return False
     if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
         return False
-    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
-    if not (dv == 1 and dh == 1 and nv <= 16 and nh <= 16):
-        return False
     if jax.default_backend() in ("cpu",):
         return False
-    if cfg.edge_mode == EdgeMode.DROP and cfg.normalize:
-        from lanczos_tpu.ops.resample_pallas import _mxu_plan
+    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
+    if cfg.dering:
+        return dv == 1 and dh == 1 and nv <= 16 and nh <= 16
+    from lanczos_tpu.ops.resample_pallas import _mxu_plan
 
-        return _mxu_plan(cfg) is not None
-    return True
+    return _mxu_plan(cfg) is not None
 
 
 class Upscaler:

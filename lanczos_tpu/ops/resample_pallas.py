@@ -160,10 +160,13 @@ class _MXUPlan:
     """
 
     tile_out: int
-    stride: int
+    nv: int  # reduced vertical scale out/in = nv/dv
+    dv: int
+    off_v: int  # coordinate convention offset (0 zero-align, dv-nv center)
+    back_v: int  # rows of backoff below the tile's first coordinate floor
     kv: int
     num_tiles: int
-    ih_eff: int  # input rows after bottom zero-pad (= ih unless kv > ih)
+    ih_eff: int  # 8-aligned input rows after bottom zero-pad
     starts_v: tuple  # per-tile input row starts
     cb: int
     kh: int
@@ -174,66 +177,85 @@ class _MXUPlan:
     wh: np.ndarray  # (n_uniq, kh, cb) f64
 
 
+# VMEM budget for the kernel's working set (band scratch + resident
+# horizontal matrices + mid/out values); the scoped limit is 16 MB
+_MXU_VMEM_BUDGET = 12 << 20
+
+
 def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     """Build the MXU-variant plan, or None where it does not apply
-    (rational scales, dering, huge phase counts, or images smaller than
-    one contraction window)."""
+    (dering, VMEM-exceeding windows, or images smaller than one
+    contraction window).
+
+    Any *linear* config qualifies — integer and rational scales, upscale
+    and antialiased downscale, every edge mode incl. drop+normalize — by
+    the same construction: per-tile dense vertical matrices and per-block
+    dense horizontal matrices built from :func:`banded_weights`, so edge
+    handling, normalization, and arbitrary N/D phase structure all live in
+    the weights (generalizing the phase-LUT uniformity of the reference's
+    kernel.cpp:50-59 to per-tile granularity)."""
     from lanczos_tpu.core.weights import banded_weights
 
     (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
     (nv, dv), (nh, dh) = reduced_scale(ih, oh), reduced_scale(iw, ow)
-    if not (dv == 1 and dh == 1 and nv <= 16 and nh <= 16):
-        return None
     if cfg.dering:  # needs per-tap values; shift-FMA (v2) keeps it
         return None
-    a, s = cfg.a, cfg.a  # integer upscale → support == a
     kw = dict(
         a=cfg.a, filter_name=cfg.filter, edge_mode=cfg.edge_mode,
         normalize=cfg.normalize, coord_mode="exact", align=cfg.align.value,
     )
     op_v = banded_weights(ih, oh, **kw)
     op_h = banded_weights(iw, ow, **kw)
+    s_v = op_v.a  # support per side (= a, or ceil(a·D/N) for downscale)
+    s_h = op_h.a
+    off_v = 0 if cfg.align.value == "zero" else dv - nv
+    back_v = s_v - 1  # idx min for row y is floor((2yd+off)/2n) - (s-1)
 
     # ---- vertical tiling ----
-    lcm_v = nv * 8 // math.gcd(nv, 8)
-    whole = _round_up(oh, lcm_v)
-    # Prefer a tile that divides OH exactly: a padded row grid forces a
-    # whole-output slice copy after the kernel (95 MB HBM→HBM at 4K→8K,
-    # ~0.15-0.2 ms — measured: divisor tiles 96/120 run 0.55-0.60 ms vs
-    # 0.71-0.81 ms for non-divisors 104/112/128 at 4K→8K).  Search
-    # multiples of lcm_v downward from tile_h to 64, then upward to 256;
-    # fall back to the padded grid when OH has no aligned divisor.
+    # Per-tile dense matrices need no phase alignment — only the Mosaic
+    # 8-sublane block rule.  Prefer a tile that divides OH exactly (a
+    # non-dividing grid is handled by masked edge blocks, but full tiles
+    # waste no compute); search multiples of 8 downward from tile_h to 64,
+    # then upward to 256; fall back to tile_h floored to 8.
+    whole = _round_up(oh, 8)
     tile = 0
-    for t in range((min(tile_h, whole) // lcm_v) * lcm_v, 63, -lcm_v):
+    for t in range((min(tile_h, whole) // 8) * 8, 63, -8):
         if oh % t == 0:
             tile = t
             break
     if not tile:
-        for t in range(_round_up(tile_h + 1, lcm_v), 257, lcm_v):
+        for t in range(_round_up(tile_h + 1, 8), 257, 8):
             if oh % t == 0:
                 tile = t
                 break
     if not tile:
-        tile = max(lcm_v, (min(tile_h, whole) // lcm_v) * lcm_v)
+        tile = max(8, (min(tile_h, whole) // 8) * 8)
     if tile >= whole:
         tile = whole
-    stride = tile * dv // nv
-    # Mosaic DMA slice rules: the sublane extent AND the dynamic sublane
-    # start must be 8-aligned (the kernel recomputes the same floored
-    # start under a pl.multiple_of hint).  +7 covers the flooring; when
-    # the window exceeds the image, the call pads zero rows at the bottom
-    # (never read: the weight windows stay within real rows).
-    kv = _round_up(min(stride + 2 * s + 8, ih), 8)
-    # 8-align ih_eff (bottom zero-pad, never read by valid outputs) so the
-    # kernel's clip bound ih_eff - kv is itself 8-aligned: otherwise the
-    # floor-to-8 after the clip loses up to 7 rows and bottom tiles of
+
+    def v_start_raw(lo: int) -> int:
+        # mirror of the kernel's integer window-start formula
+        return (2 * lo * dv + off_v) // (2 * nv) - back_v
+
+    num = -(-oh // tile)
+    # first pass: uniform window extent kv from the real band indices
+    # (downscale-aware: idx spans tile·D/N + 2·support rows)
+    ext = 0
+    for i in range(num):
+        lo, hi = i * tile, min((i + 1) * tile, oh)
+        start0 = (max(v_start_raw(lo), 0) // 8) * 8
+        ext = max(ext, int(op_v.idx[lo:hi].max()) - start0 + 1)
+    kv = min(_round_up(ext + 7, 8), _round_up(ih, 8))
+    # 8-aligned ih_eff (bottom zero-pad, never read by valid outputs) so
+    # the kernel's clip bound ih_eff - kv is itself 8-aligned: otherwise
+    # the floor-to-8 after the clip loses up to 7 rows and bottom tiles of
     # odd-height images fail the coverage check below
     ih_eff = _round_up(max(ih, kv), 8)
-    num = -(-oh // tile)
+    w_eff = _round_up(iw, 128)
     starts_v, wv = [], np.zeros((num, tile, kv), np.float64)
     for i in range(num):
         lo, hi = i * tile, min((i + 1) * tile, oh)
-        start = (min(max(i * stride - (s - 1), 0), ih_eff - kv) // 8) * 8
+        start = (min(max(v_start_raw(lo), 0), ih_eff - kv) // 8) * 8
         band_idx = op_v.idx[lo:hi] - start
         if band_idx.min() < 0 or band_idx.max() >= kv:
             return None  # window cannot cover this tile (tiny image)
@@ -245,14 +267,24 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
         starts_v.append(start)
 
     # ---- horizontal blocks ----
+    # Block starts are STATIC (baked into the unrolled loop), so they come
+    # straight from the operator's band indices — no formula needed.  A
+    # small lcm keeps interior blocks identical for dedup; huge phase
+    # counts (large N) fall back to cb=128 with per-block matrices.
     cb = nh * 128 // math.gcd(nh, 128)
-    stride_h = cb * dh // nh
-    kh = min(_round_up(stride_h + 2 * s + 1, 8), iw)
+    if cb > 512:
+        cb = 128
     n_cb = -(-ow // cb)
+    ext_h = 0
+    for b in range(n_cb):
+        lo, hi = b * cb, min((b + 1) * cb, ow)
+        blk = op_h.idx[lo:hi]
+        ext_h = max(ext_h, int(blk.max()) - int(blk.min()) + 1)
+    kh = min(_round_up(ext_h, 8), w_eff)
     starts_h, mats = [], []
     for b in range(n_cb):
         lo, hi = b * cb, min((b + 1) * cb, ow)
-        start = min(max(b * stride_h - (s - 1), 0), iw - kh)
+        start = min(max(int(op_h.idx[lo:hi].min()), 0), w_eff - kh)
         band_idx = op_h.idx[lo:hi] - start
         if band_idx.min() < 0 or band_idx.max() >= kh:
             return None
@@ -271,8 +303,24 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
         else:
             uniq_h.append(len(uniq))
             uniq.append(W)
+
+    # ---- VMEM feasibility ----
+    # band scratch (double-buffered u8) + resident wh (hi+lo bf16) +
+    # per-tile wv blocks (hi+lo bf16, pipelined x2) + mid/m_hi/m_lo values
+    # + the output block
+    ow_pad = n_cb * cb
+    vmem = (
+        2 * kv * w_eff
+        + 2 * 2 * len(uniq) * kh * cb
+        + 2 * 2 * 2 * tile * kv
+        + tile * w_eff * (4 + 2 + 2)
+        + 2 * tile * ow_pad
+    )
+    if vmem > _MXU_VMEM_BUDGET:
+        return None
     return _MXUPlan(
-        tile_out=tile, stride=stride, kv=kv, num_tiles=num, ih_eff=ih_eff,
+        tile_out=tile, nv=nv, dv=dv, off_v=off_v, back_v=back_v, kv=kv,
+        num_tiles=num, ih_eff=ih_eff,
         starts_v=tuple(starts_v), cb=cb, kh=kh, n_cb=n_cb,
         starts_h=tuple(starts_h), uniq_h=tuple(uniq_h),
         wv=wv, wh=np.stack(uniq),
@@ -318,9 +366,10 @@ class PallasOps:
             self.mxu = _mxu_plan(cfg, tile_h if variant == "mxu" else 128)
             if variant == "mxu" and self.mxu is None:
                 raise NotImplementedError(
-                    "MXU variant needs integer upscale factors <= 16, no "
-                    "dering, and an image at least one contraction window "
-                    "wide/tall"
+                    "MXU variant covers any linear config without dering "
+                    "whose contraction windows fit VMEM and cover every "
+                    "tile; this one's plan is infeasible — use v1/v2 or "
+                    "the block backend"
                 )
             if variant == "auto" and (
                 interpret or jax.default_backend() == "cpu"
@@ -670,14 +719,17 @@ def _fused_kernel_mxu(
     i = pl.program_id(1)
     band_lin = c * n_i + i
     bands_total = pl.num_programs(0) * n_i
-    s = ops.cfg.a
 
     def dma_for(band_idx, slot):
         cc = band_idx // n_i
         ii = band_idx % n_i
-        # must mirror the plan's per-tile start exactly (floored to 8 for
-        # Mosaic's dynamic-sublane-start divisibility rule)
-        raw = jnp.clip(ii * mx.stride - (s - 1), 0, mx.ih_eff - mx.kv)
+        # must mirror the plan's per-tile start exactly (the exact-rational
+        # coordinate floor minus the support backoff, floored to 8 for
+        # Mosaic's dynamic-sublane-start divisibility rule); jnp // is
+        # floor division, matching the plan's host-side Python //
+        lo = ii * mx.tile_out
+        raw = (2 * lo * mx.dv + mx.off_v) // (2 * mx.nv) - mx.back_v
+        raw = jnp.clip(raw, 0, mx.ih_eff - mx.kv)
         start = pl.multiple_of((raw // 8) * 8, 8)
         return pltpu.make_async_copy(
             img_ref.at[cc, pl.ds(start, mx.kv), :],

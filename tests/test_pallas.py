@@ -158,6 +158,30 @@ def test_mxu_matches_xla_upscale(rng, scale, small_img):
 
 
 @pytest.mark.parametrize(
+    "scale, align, shape",
+    [
+        ((3, 2), "zero", (60, 80)),  # rational upscale
+        ((7, 5), "zero", (60, 80)),
+        ((3, 2), "center", (60, 80)),
+        ((1, 2), "zero", (60, 80)),  # antialiased downscale (support widens)
+        ((2, 3), "center", (60, 90)),
+    ],
+)
+def test_mxu_rational_and_downscale(rng, scale, align, shape):
+    """Generalized MXU plan: per-tile/per-block dense matrices cover any
+    linear N/D, incl. downscales, matching the gather reference <= 1 LSB
+    (bf16-split summation order)."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, shape, scale=scale, a=3, align=align
+    )
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+@pytest.mark.parametrize(
     "edge, normalize",
     [
         (EdgeMode.CLAMP, True),
@@ -196,13 +220,17 @@ def test_mxu_batched_planar_and_partial_tiles(rng):
 
 
 def test_mxu_eligibility():
-    """Rational scales / dering raise for variant='mxu'; variant='auto'
-    keeps v2 on CPU (bit-exact test semantics preserved)."""
+    """Any linear config plans (incl. rational scales and downscales);
+    dering raises for variant='mxu'; variant='auto' keeps v2 on CPU
+    (bit-exact test semantics preserved)."""
     rational = ResampleConfig.from_profile(
         Profile.PRECISE, (24, 20), scale=(3, 2), a=2
     )
-    with pytest.raises(NotImplementedError):
-        PallasOps(rational, interpret=True, variant="mxu")
+    assert PallasOps(rational, interpret=True, variant="mxu").mxu is not None
+    down = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(1, 2), a=2
+    )
+    assert PallasOps(down, interpret=True, variant="mxu").mxu is not None
     dering = ResampleConfig.from_profile(
         Profile.PRECISE, (24, 20), scale=(2, 1), a=2, dering=True
     )
