@@ -99,17 +99,20 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
 
     if cfg.precision == Precision.FIXED or cfg.c_faithful:
         return False
-    if cfg.intermediate_quantize:
-        return False
     if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
         return False
     if jax.default_backend() in ("cpu",):
         return False
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
     if cfg.dering:
-        return dv == 1 and dh == 1 and nv <= 16 and nh <= 16
+        return (
+            not cfg.intermediate_quantize
+            and dv == 1 and dh == 1 and nv <= 16 and nh <= 16
+        )
     from lanczos_tpu.ops.resample_pallas import _mxu_plan
 
+    # covers intermediate_quantize too (fused in the MXU kernel for
+    # height-first order; the plan returns None otherwise)
     return _mxu_plan(cfg) is not None
 
 

@@ -200,6 +200,10 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     (nv, dv), (nh, dh) = reduced_scale(ih, oh), reduced_scale(iw, ow)
     if cfg.dering:  # needs per-tap values; shift-FMA (v2) keeps it
         return None
+    if cfg.intermediate_quantize and cfg.order != Order.HEIGHT_FIRST:
+        # the fused kernel runs vertical-then-horizontal; with a quantized
+        # (nonlinear) intermediate the pass order is observable
+        return None
     kw = dict(
         a=cfg.a, filter_name=cfg.filter, edge_mode=cfg.edge_mode,
         normalize=cfg.normalize, coord_mode="exact", align=cfg.align.value,
@@ -384,6 +388,12 @@ class PallasOps:
                 "drop-edge with normalization needs the MXU variant "
                 "(per-row renormalized weights); zero padding cannot "
                 "reproduce it in the shift/banded kernels"
+            )
+        if cfg.intermediate_quantize and self.mxu is None:
+            raise NotImplementedError(
+                "the uint8-quantized intermediate is fused only in the MXU "
+                "variant (height-first); v1/v2 would silently skip it — "
+                "use the block or xla backend"
             )
         if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
             raise NotImplementedError(
@@ -763,16 +773,24 @@ def _fused_kernel_mxu(
     mid = dot(wv_hi[0], xb)
     if ops.split:
         mid = mid + dot(wv_lo[0], xb)
+    quant_mid = ops.cfg.intermediate_quantize
+    if quant_mid:
+        # uint8-quantized intermediate (full_TB.h:63 semantics): integers
+        # <= 255 are exact in bf16, so the mid split disappears and the
+        # horizontal pass needs only the weight split (2 dots, not 3)
+        mid = jnp.trunc(jnp.clip(mid, 0.0, 255.0))
     m_hi = mid.astype(jnp.bfloat16)
-    if ops.split:
+    split_mid = ops.split and not quant_mid
+    if split_mid:
         m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     for b in range(mx.n_cb):
         st = mx.starts_h[b]
         u = mx.uniq_h[b]
         xh = m_hi[:, st : st + mx.kh]
         acc = dot(xh, wh_hi[u])
-        if ops.split:
+        if split_mid:
             acc = acc + dot(m_lo[:, st : st + mx.kh], wh_hi[u])
+        if ops.split:
             acc = acc + dot(xh, wh_lo[u])
         q = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
         out_ref[0, :, b * mx.cb : (b + 1) * mx.cb] = q.astype(jnp.uint8)

@@ -219,6 +219,32 @@ def test_mxu_batched_planar_and_partial_tiles(rng):
     assert np.abs(ref.astype(int) - out_i[0].astype(int)).max() <= 1
 
 
+def test_mxu_intermediate_quantize(rng):
+    """uint8-quantized intermediate (full_TB.h:63) fused in-kernel: the
+    mid split disappears (integers are exact in bf16) and output matches
+    the gather path's quantize-between-passes <= 1 LSB.  WIDTH_FIRST order
+    is observable through the nonlinearity, so its plan is refused."""
+    from lanczos_tpu.core.config import Order
+    from lanczos_tpu.ops.resample_pallas import _mxu_plan
+
+    shape = (48, 64)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, shape, scale=(2, 1), a=3, intermediate_quantize=True
+    )
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    wf = ResampleConfig.from_profile(
+        Profile.PRECISE, shape, scale=(2, 1), a=3,
+        intermediate_quantize=True, order=Order.WIDTH_FIRST,
+    )
+    assert _mxu_plan(wf) is None
+    with pytest.raises(NotImplementedError):
+        PallasOps(wf, interpret=True, variant="mxu")
+
+
 def test_mxu_eligibility():
     """Any linear config plans (incl. rational scales and downscales);
     dering raises for variant='mxu'; variant='auto' keeps v2 on CPU
