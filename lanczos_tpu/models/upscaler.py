@@ -8,13 +8,15 @@ reference bakes one (dims, scale, a, precision) combination per bitstream
 via ``params.h``, here each config is one jit cache entry.
 
 Backends:
-- ``"pallas"``: fused VMEM-tiled Mosaic kernels (ops/resample_pallas.py)
-  — the fastest fp32-exact path on TPU for integer upscales (auto-picked
+- ``"pallas"``: fused VMEM-tiled Mosaic kernels (ops/resample_pallas.py).
+  The MXU variant covers ANY linear config — integer/rational scales,
+  antialiased downscales, drop+normalize, quantized intermediates — as
+  dense bf16-split matmuls and is the fastest path on TPU (auto-picked
   there); interpret-mode only on CPU.
 - ``"shift_xla"``: strided shift-FMA (fastest pure-XLA path; needs
   N ≤ 32 phases).
 - ``"block"``: blocked banded matmul on the MXU
-  (ops/resample_block_xla.py) — any linear config, any N/D; the default
+  (ops/resample_block_xla.py) — any linear config, any N/D; the pure-XLA
   fallback when shift is ineligible.
 - ``"xla"``: gather-based separable passes (ops/resample_xla.py) — the
   portable reference path, also used for HLS-faithful fixed point.
