@@ -777,7 +777,12 @@ def _fused_kernel_mxu(
     if quant_mid:
         # uint8-quantized intermediate (full_TB.h:63 semantics): integers
         # <= 255 are exact in bf16, so the mid split disappears and the
-        # horizontal pass needs only the weight split (2 dots, not 3)
+        # horizontal pass needs only the weight split (2 dots, not 3).
+        # NOTE: when this kernel's f32 summation order lands a mid value
+        # on the other side of a truncation boundary vs the gather path,
+        # the flip cascades through the horizontal taps — isolated pixels
+        # may differ by ±2 (measured: 1 pixel in 2.3M at 209×232→4×);
+        # the ≤1 LSB agreement contract is for linear configs only
         mid = jnp.trunc(jnp.clip(mid, 0.0, 255.0))
     m_hi = mid.astype(jnp.bfloat16)
     split_mid = ops.split and not quant_mid
