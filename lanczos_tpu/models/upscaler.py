@@ -105,17 +105,23 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
         return False
     if jax.default_backend() in ("cpu",):
         return False
-    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
-    if cfg.dering:
-        return (
-            not cfg.intermediate_quantize
-            and dv == 1 and dh == 1 and nv <= 16 and nh <= 16
-        )
     from lanczos_tpu.ops.resample_pallas import _mxu_plan
 
-    # covers intermediate_quantize too (fused in the MXU kernel for
-    # height-first order; the plan returns None otherwise)
-    return _mxu_plan(cfg) is not None
+    # the plan covers dering and intermediate_quantize too (fused one-hot
+    # central-tap bounds / trunc-clip mid, height-first order only — the
+    # plan returns None otherwise)
+    if _mxu_plan(cfg) is not None:
+        return True
+    from lanczos_tpu.core.config import Order
+
+    (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
+    # v2 shift-FMA fallback: fused dering for integer upscales
+    return (
+        cfg.dering
+        and cfg.order == Order.HEIGHT_FIRST
+        and not cfg.intermediate_quantize
+        and dv == 1 and dh == 1 and nv <= 16 and nh <= 16
+    )
 
 
 class Upscaler:

@@ -183,8 +183,22 @@ _MXU_VMEM_BUDGET = 12 << 20
 
 
 def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
-    """Build the MXU-variant plan, or None where it does not apply
-    (dering, VMEM-exceeding windows, or images smaller than one
+    """Build the MXU-variant plan, retrying smaller row tiles when the
+    working set exceeds the VMEM budget (e.g. 4K dering triples the
+    vertical dot rows); None where no tile fits or a window cannot cover
+    its tile (tiny images)."""
+    for t in (tile_h, 96, 64, 48, 32):
+        if t > tile_h:
+            continue
+        plan = _mxu_plan_tile(cfg, t)
+        if plan is not None:
+            return plan
+    return None
+
+
+def _mxu_plan_tile(cfg: ResampleConfig, tile_h: int) -> Optional[_MXUPlan]:
+    """Build the MXU-variant plan for one row-tile target, or None where
+    it does not apply (VMEM-exceeding windows, or images smaller than one
     contraction window).
 
     Any *linear* config qualifies — integer and rational scales, upscale
@@ -198,11 +212,15 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
 
     (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
     (nv, dv), (nh, dh) = reduced_scale(ih, oh), reduced_scale(iw, ow)
-    if cfg.dering:  # needs per-tap values; shift-FMA (v2) keeps it
+    dering = cfg.dering
+    if dering and cfg.edge_mode == EdgeMode.DROP:
+        # drop-edge dering clamps against edge-clamped tap VALUES that the
+        # drop-weighted matrices never see — gather path only
         return None
-    if cfg.intermediate_quantize and cfg.order != Order.HEIGHT_FIRST:
-        # the fused kernel runs vertical-then-horizontal; with a quantized
-        # (nonlinear) intermediate the pass order is observable
+    if (dering or cfg.intermediate_quantize) and cfg.order != Order.HEIGHT_FIRST:
+        # the fused kernel runs vertical-then-horizontal; through a
+        # nonlinearity (dering clamp / quantized intermediate) the pass
+        # order is observable
         return None
     kw = dict(
         a=cfg.a, filter_name=cfg.filter, edge_mode=cfg.edge_mode,
@@ -256,18 +274,23 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     # odd-height images fail the coverage check below
     ih_eff = _round_up(max(ih, kv), 8)
     w_eff = _round_up(iw, 128)
-    starts_v, wv = [], np.zeros((num, tile, kv), np.float64)
+    # dering: the same vertical dot also produces the clamp bounds — rows
+    # [tile, 2·tile) and [2·tile, 3·tile) are one-hot selectors of the two
+    # central taps (idx[:, s-1], idx[:, s]; worker.cpp:64-75), whose uint8
+    # values are exact in bf16 (their bf16-lo split rows are zero)
+    rows_v = 3 * tile if dering else tile
+    starts_v, wv = [], np.zeros((num, rows_v, kv), np.float64)
     for i in range(num):
         lo, hi = i * tile, min((i + 1) * tile, oh)
         start = (min(max(v_start_raw(lo), 0), ih_eff - kv) // 8) * 8
         band_idx = op_v.idx[lo:hi] - start
         if band_idx.min() < 0 or band_idx.max() >= kv:
             return None  # window cannot cover this tile (tiny image)
-        np.add.at(
-            wv[i],
-            (np.arange(hi - lo)[:, None], band_idx),
-            op_v.weights[lo:hi],
-        )
+        rr = np.arange(hi - lo)
+        np.add.at(wv[i], (rr[:, None], band_idx), op_v.weights[lo:hi])
+        if dering:
+            wv[i][tile + rr, band_idx[:, s_v - 1]] = 1.0
+            wv[i][2 * tile + rr, band_idx[:, s_v]] = 1.0
         starts_v.append(start)
 
     # ---- horizontal blocks ----
@@ -285,6 +308,10 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
         blk = op_h.idx[lo:hi]
         ext_h = max(ext_h, int(blk.max()) - int(blk.min()) + 1)
     kh = min(_round_up(ext_h, 8), w_eff)
+    # dering: columns [cb, 2·cb) and [2·cb, 3·cb) select the two central
+    # taps of the (vertically clamped) intermediate; the f32 bound is
+    # reconstructed exactly as m_hi·S + m_lo·S
+    cols_h = 3 * cb if dering else cb
     starts_h, mats = [], []
     for b in range(n_cb):
         lo, hi = b * cb, min((b + 1) * cb, ow)
@@ -292,10 +319,12 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
         band_idx = op_h.idx[lo:hi] - start
         if band_idx.min() < 0 or band_idx.max() >= kh:
             return None
-        W = np.zeros((kh, cb), np.float64)
-        np.add.at(
-            W, (band_idx, np.arange(hi - lo)[:, None]), op_h.weights[lo:hi]
-        )
+        W = np.zeros((kh, cols_h), np.float64)
+        cc = np.arange(hi - lo)
+        np.add.at(W, (band_idx, cc[:, None]), op_h.weights[lo:hi])
+        if dering:
+            W[band_idx[:, s_h - 1], cb + cc] = 1.0
+            W[band_idx[:, s_h], 2 * cb + cc] = 1.0
         starts_h.append(start)
         mats.append(W)
     uniq, uniq_h = [], []
@@ -314,11 +343,12 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     # + the output block
     ow_pad = n_cb * cb
     vmem = (
-        2 * kv * w_eff
-        + 2 * 2 * len(uniq) * kh * cb
-        + 2 * 2 * 2 * tile * kv
-        + tile * w_eff * (4 + 2 + 2)
-        + 2 * tile * ow_pad
+        2 * kv * w_eff  # double-buffered u8 band
+        + 2 * 2 * len(uniq) * kh * cols_h  # resident wh hi+lo bf16
+        + 2 * 2 * 2 * rows_v * kv  # pipelined wv blocks hi+lo bf16
+        + rows_v * w_eff * 4  # mid value f32 (3·tile rows when dering)
+        + tile * w_eff * (2 + 2)  # m_hi/m_lo bf16 (tile rows only)
+        + 2 * tile * ow_pad  # pipelined u8 out block
     )
     if vmem > _MXU_VMEM_BUDGET:
         return None
@@ -434,11 +464,18 @@ class PallasOps:
         al = cfg.align.value
         self.off_v = 0 if al == "zero" else self.pv.d - self.pv.n
         self.off_h = 0 if al == "zero" else self.ph.d - self.ph.n
-        if cfg.dering and not (self.v_shift and self.h_shift):
-            raise NotImplementedError(
-                "dering in the fused Pallas path requires integer upscale "
-                "factors (shift-FMA variant); use the XLA backend"
-            )
+        if cfg.dering and self.mxu is None:
+            if cfg.order != Order.HEIGHT_FIRST:
+                raise NotImplementedError(
+                    "both fused kernels run vertical-then-horizontal; "
+                    "width-first dering is order-observable — use the XLA "
+                    "backend"
+                )
+            if not (self.v_shift and self.h_shift):
+                raise NotImplementedError(
+                    "dering without an MXU plan requires integer upscale "
+                    "factors (shift-FMA variant); use the XLA backend"
+                )
         self.tbl_v = _phase_table(
             self.pv.n, self.pv.d, cfg.a, self.pv.support, cfg.filter,
             cfg.normalize, cfg.align.value,
@@ -773,6 +810,14 @@ def _fused_kernel_mxu(
     mid = dot(wv_hi[0], xb)
     if ops.split:
         mid = mid + dot(wv_lo[0], xb)
+    der = ops.cfg.dering
+    t = mx.tile_out
+    if der:
+        # rows [t,2t)/[2t,3t) of the same dot are the central-tap values
+        # (exact uint8: one-hot selectors are exact in bf16) — the FSR
+        # anti-ringing clamp (worker.cpp:64-75)
+        mid, c0, c1 = mid[:t], mid[t : 2 * t], mid[2 * t : 3 * t]
+        mid = jnp.clip(mid, jnp.minimum(c0, c1), jnp.maximum(c0, c1))
     quant_mid = ops.cfg.intermediate_quantize
     if quant_mid:
         # uint8-quantized intermediate (full_TB.h:63 semantics): integers
@@ -788,6 +833,7 @@ def _fused_kernel_mxu(
     split_mid = ops.split and not quant_mid
     if split_mid:
         m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cb = mx.cb
     for b in range(mx.n_cb):
         st = mx.starts_h[b]
         u = mx.uniq_h[b]
@@ -797,8 +843,13 @@ def _fused_kernel_mxu(
             acc = acc + dot(m_lo[:, st : st + mx.kh], wh_hi[u])
         if ops.split:
             acc = acc + dot(xh, wh_lo[u])
+        if der:
+            # cols [cb,2cb)/[2cb,3cb) reconstruct the central-tap bounds
+            # exactly (m_hi·S + m_lo·S = mid in f32)
+            acc, h0, h1 = acc[:, :cb], acc[:, cb : 2 * cb], acc[:, 2 * cb :]
+            acc = jnp.clip(acc, jnp.minimum(h0, h1), jnp.maximum(h0, h1))
         q = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
-        out_ref[0, :, b * mx.cb : (b + 1) * mx.cb] = q.astype(jnp.uint8)
+        out_ref[0, :, b * cb : (b + 1) * cb] = q.astype(jnp.uint8)
 
 
 def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
@@ -830,7 +881,7 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [
             pl.BlockSpec(
-                (1, mx.tile_out, mx.kv),
+                (1, wv_hi.shape[1], mx.kv),  # 3·tile rows when dering
                 lambda c, i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -838,7 +889,7 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         * 2
         + [
             pl.BlockSpec(
-                (nu, mx.kh, mx.cb),
+                (nu, mx.kh, wh_hi.shape[2]),  # 3·cb cols when dering
                 lambda c, i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )

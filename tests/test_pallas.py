@@ -219,6 +219,47 @@ def test_mxu_batched_planar_and_partial_tiles(rng):
     assert np.abs(ref.astype(int) - out_i[0].astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize(
+    "scale, edge",
+    [
+        ((2, 1), EdgeMode.CLAMP),
+        ((3, 1), EdgeMode.REFLECT),
+        ((3, 2), EdgeMode.CLAMP),  # rational dering: MXU-only fused path
+    ],
+)
+def test_mxu_dering(rng, scale, edge):
+    """FSR dering clamp fused via one-hot central-tap bound rows/cols in
+    the same matmuls (worker.cpp:64-75): bounds are exact (uint8 one-hots
+    vertically; m_hi·S + m_lo·S = mid horizontally), so agreement with the
+    gather path stays <= 1 LSB."""
+    shape = (60, 80)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, shape, scale=scale, a=3, dering=True, edge_mode=edge
+    )
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_mxu_dering_order_and_drop_gates():
+    """Width-first dering and drop-edge dering have no fused plan."""
+    from lanczos_tpu.core.config import Order
+    from lanczos_tpu.ops.resample_pallas import _mxu_plan
+
+    wf = ResampleConfig.from_profile(
+        Profile.PRECISE, (48, 64), scale=(2, 1), a=3, dering=True,
+        order=Order.WIDTH_FIRST,
+    )
+    assert _mxu_plan(wf) is None
+    dr = ResampleConfig.from_profile(
+        Profile.PRECISE, (48, 64), scale=(2, 1), a=3, dering=True,
+        edge_mode=EdgeMode.DROP,
+    )
+    assert _mxu_plan(dr) is None
+
+
 def test_mxu_intermediate_quantize(rng):
     """uint8-quantized intermediate (full_TB.h:63) fused in-kernel: the
     mid split disappears (integers are exact in bf16) and output matches
@@ -260,8 +301,13 @@ def test_mxu_eligibility():
     dering = ResampleConfig.from_profile(
         Profile.PRECISE, (24, 20), scale=(2, 1), a=2, dering=True
     )
+    assert PallasOps(dering, interpret=True, variant="mxu").mxu is not None
+    drop_dering = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 20), scale=(2, 1), a=2, dering=True,
+        edge_mode=EdgeMode.DROP,
+    )
     with pytest.raises(NotImplementedError):
-        PallasOps(dering, interpret=True, variant="mxu")
+        PallasOps(drop_dering, interpret=True, variant="mxu")
     ok = ResampleConfig.from_profile(Profile.PRECISE, (24, 20), scale=(2, 1), a=2)
     assert PallasOps(ok, interpret=True, variant="auto").mxu is None
     assert PallasOps(ok, interpret=True, variant="mxu").mxu is not None
