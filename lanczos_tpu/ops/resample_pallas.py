@@ -6,17 +6,37 @@ kernel: for each output tile, DMA the (haloed) uint8 input slab HBM→VMEM,
 apply the vertical then horizontal banded operators entirely in VMEM, and
 write the uint8 output tile — the float intermediate never touches HBM.
 
+Three kernel generations live here; ``variant="auto"`` picks the best:
+
+- **MXU variant (v3, the production path)**: both passes are dense
+  bf16-split matmuls over per-row-tile / per-column-block weight matrices
+  built from :func:`banded_weights`, so EVERYTHING lives in the weights —
+  edge modes (incl. drop+normalize), per-phase structure for any rational
+  N/D, antialiased downscale stretch, align conventions — generalizing the
+  phase-LUT uniformity of ``kernel.cpp:50-59`` to per-tile granularity.
+  The input is UNPADDED (window starts come from the exact rational
+  coordinate floor, clipped into the image) and so is the output (Mosaic
+  masks partial edge blocks).  uint8 pixels are exact in bf16; fp32 mode
+  splits weights and the float intermediate into hi+lo bf16 parts (2
+  vertical + 3 horizontal matmuls, ≤1 LSB vs the f32 gather path on ~0.1%
+  of pixels); BF16 mode runs single matmuls at ~94% of the measured HBM
+  roofline.  The FSR dering clamp and the uint8-quantized intermediate
+  are fused via one-hot selector rows/cols stacked into the same
+  matrices (height-first order only — they are nonlinear).
+- **v2 (shift-FMA, transpose-free)**: integer upscales as unit-stride
+  shifted-slice FMAs with phase-planar output; bit-exact vs shift_xla —
+  kept as the exactness anchor and the CPU-interpret test kernel.
+- **v1 (banded tiles + VMEM-scratch transpose)**: the original rational-
+  scale study kernel; superseded by the MXU variant for performance.
+
 Key structural facts exploited (SURVEY.md §7):
 
-- With reduced scale N/D and tile height TH ≡ 0 (mod N), the banded weight
-  pattern repeats identically for every tile (the phase-LUT insight of
-  ``kernel.cpp:50-59``), so ONE static dense (TH × KV) weight matrix serves
-  all row tiles, and one (KH × TW) serves all column tiles.
 - A banded matrix materialized at tile granularity is small enough that the
   two per-tile applications are plain MXU matmuls — no gathers, no strided
   accesses, no data-dependent control flow.
-- Edge handling (clamp/zero/reflect) becomes input padding by the support
-  radius, so the kernel body is branch-free and identical for every tile.
+- Interior column blocks share one matrix whenever the phase count is
+  small (deduped automatically); large-N scales simply carry per-block
+  matrices.
 
 Layout: the kernel is planar — (C, H, W) or (B, C, H, W) — so the image
 width rides the 128-lane dimension.  Interleaved (..., H, W, C) wrappers
