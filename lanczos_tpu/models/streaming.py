@@ -14,6 +14,18 @@ reference's ``seek_write_index``/``curr_offset`` phase bookkeeping
 All chunks share one compiled kernel: the banded gather tables are sliced
 per chunk host-side and passed as same-shaped device arrays, so chunk k and
 chunk k+1 hit the same jit cache entry.
+
+Device formulations, fastest first (auto-selected):
+
+1. **MXU chunk path** — the fused Pallas MXU kernel applied per chunk.
+   With ``chunk ≡ 0 (mod N)`` every chunk shares one phase pattern, so an
+   interior slice of a virtual tall operator serves all chunks (the
+   ``seek_write_index``/``curr_offset`` analog becomes a constant shift of
+   the kernel's rational-coordinate window formula); frame edges are
+   reproduced by edge-mode padding the input window (hence DROP-edge
+   configs are excluded).
+2. **shift-FMA chunk path** — pure-XLA strided shifts (integer upscales).
+3. **gather chunk path** — per-chunk sliced banded tables (any config).
 """
 
 from __future__ import annotations
@@ -43,11 +55,14 @@ class StreamingUpscaler:
         cfg: ResampleConfig,
         chunk_rows: int = 512,
         dtype=jnp.float32,
+        chunk_backend: str = "auto",
     ):
         if cfg.precision == Precision.FIXED or cfg.c_faithful:
             raise NotImplementedError(
                 "streaming supports the precise float paths only"
             )
+        if chunk_backend not in ("auto", "mxu", "shift", "gather"):
+            raise ValueError(f"unknown chunk_backend {chunk_backend!r}")
         self.cfg = cfg
         self.dtype = dtype
         n, d = cfg.scale_h
@@ -76,17 +91,43 @@ class StreamingUpscaler:
             spans.append((int(lo[y0:y1].min()), int(hi[y0:y1].max()) + 1))
         self.spans = spans
         self.win = max(b - a for a, b in spans)
-        # shift-FMA chunk path (the fast device formulation): needs the
-        # phase pattern chunk-invariant and height-first linear semantics
+        # fused MXU chunk path (fastest device formulation): one
+        # interior-phase plan serves every chunk; frame edges are
+        # reproduced by edge-mode padding the window
+        self.use_mxu = False
+        self.use_shift = False
+        import jax as _jax
+
+        if chunk_backend in ("auto", "mxu") and (
+            chunk_backend == "mxu" or _jax.default_backend() != "cpu"
+        ):
+            self._setup_mxu(
+                interpret=_jax.default_backend() == "cpu", dtype=dtype
+            )
+        if chunk_backend == "mxu" and not self.use_mxu:
+            raise NotImplementedError(
+                "MXU chunk path needs chunk % N == 0 linear/height-first "
+                "semantics, a non-DROP edge mode, and a VMEM-feasible plan"
+            )
+        if self.use_mxu:
+            self._fn = jax.jit(self._chunk_fn_mxu)
+            return
+        # shift-FMA chunk path: needs the phase pattern chunk-invariant
+        # and height-first linear semantics
         from lanczos_tpu.models.upscaler import _shift_eligible
 
         ih = cfg.in_shape[0]
-        self.use_shift = (
+        self.use_shift = chunk_backend in ("auto", "shift") and (
             _shift_eligible(cfg)
             and self.chunk % n == 0
             and cfg.order == Order.HEIGHT_FIRST
             and ih % d == 0
         )
+        if chunk_backend == "shift" and not self.use_shift:
+            raise NotImplementedError(
+                "shift chunk path needs an integer upscale with "
+                "height-first linear semantics"
+            )
         if self.use_shift:
             from lanczos_tpu.ops.resample_shift_xla import ShiftOps
 
@@ -98,6 +139,94 @@ class StreamingUpscaler:
             self._fn = jax.jit(self._chunk_fn_shift)
         else:
             self._fn = jax.jit(self._chunk_fn)
+
+    def _setup_mxu(self, interpret: bool, dtype) -> None:
+        """Build the shared interior-chunk MXU plan, or leave use_mxu=False.
+
+        With ``chunk ≡ 0 (mod N)``, ``y0·D/N`` is an integer for every
+        chunk start, so ``fl(y0+y') − fl(y0)`` is one function of the
+        chunk-local row y' — a middle slice of a virtual tall operator is
+        the universal chunk operator, and the kernel's window-start
+        formula picks it up through a constant offset shift
+        ``off_eff = off + 2·D·chunk − 2·N·row0`` (the seek_write_index /
+        curr_offset analog, worker.cpp:199-202)."""
+        import dataclasses as _dc
+        import types as _types
+
+        from lanczos_tpu.core.config import EdgeMode
+        from lanczos_tpu.ops.resample_pallas import _build_mxu_plan
+
+        cfg = self.cfg
+        n, d = cfg.scale_h
+        if cfg.edge_mode == EdgeMode.DROP:
+            return  # window padding cannot reproduce dropped-tap weights
+        if (
+            (cfg.dering or cfg.intermediate_quantize)
+            and cfg.order != Order.HEIGHT_FIRST
+        ):
+            return  # nonlinearity makes the pass order observable
+        chunk = self.chunk
+        if chunk % n:
+            return
+        # virtual tall frame at the EXACT rational scale (banded_weights
+        # derives N/D from its arguments); its middle slice is pure
+        # interior pattern
+        oh_v = 5 * chunk
+        ih_v = oh_v * d // n  # exact: chunk ≡ 0 (mod n)
+        op = banded_weights(
+            ih_v, oh_v, cfg.a, cfg.filter, cfg.edge_mode, cfg.normalize,
+            coord_mode="exact", align=cfg.align.value,
+        )
+        idx_s = op.idx[2 * chunk : 3 * chunk]
+        w_s = op.weights[2 * chunk : 3 * chunk]
+        if idx_s.min() <= 0 or idx_s.max() >= ih_v - 1:
+            return  # slice touches the virtual edges (tiny chunk)
+        row0 = int(idx_s.min())
+        win = int(idx_s.max()) - row0 + 1
+        if win > cfg.in_shape[0]:
+            return  # frame shorter than one chunk window (np.pad limits)
+        op_local = _types.SimpleNamespace(
+            idx=(idx_s - row0).astype(np.int32), weights=w_s, a=int(op.a)
+        )
+        off = 0 if cfg.align.value == "zero" else d - n
+        off_eff = off + 2 * d * (2 * chunk) - 2 * n * row0
+        syn = _dc.replace(
+            cfg,
+            in_shape=(win, cfg.in_shape[1]),
+            out_shape=(chunk, cfg.out_shape[1]),
+        )
+        plan = None
+        for t in (128, 96, 64, 48, 32):
+            plan = _build_mxu_plan(syn, t, op_local, self.op_h, n, d, off_eff)
+            if plan is not None:
+                break
+        if plan is None:
+            return
+        from lanczos_tpu.ops.resample_pallas import _split_bf16
+
+        self._mxu = _types.SimpleNamespace(
+            cfg=syn,
+            mxu=plan,
+            mxu_wv=_split_bf16(plan.wv),
+            mxu_wh=_split_bf16(plan.wh),
+            split=cfg.precision != Precision.BF16,
+            interpret=interpret,
+        )
+        # global input row of chunk k's window-local row 0 (may be < 0 for
+        # k = 0 / beyond ih for the tail — edge-mode padded); the slice
+        # was taken at virtual chunk index 2
+        self.mxu_row0_step = chunk * d // n
+        self.mxu_row0_base = row0 - 2 * self.mxu_row0_step
+        self.win = win
+        self.use_mxu = True
+
+    def _chunk_fn_mxu(self, rows):
+        """rows: (win, W, C) uint8 window, edge pads applied host-side."""
+        from lanczos_tpu.ops.resample_pallas import _fused_call_mxu
+
+        x = jnp.transpose(rows, (2, 0, 1))
+        y = _fused_call_mxu(self._mxu, x)
+        return jnp.transpose(y, (1, 2, 0))
 
     def _chunk_fn(self, rows, idx_v, w_v):
         """rows: (win, W, C) input window; idx_v rebased to the window."""
@@ -146,18 +275,23 @@ class StreamingUpscaler:
         ih = self.cfg.in_shape[0]
         for k in range(start_chunk, self.n_chunks):
             y0, y1 = k * self.chunk, min((k + 1) * self.chunk, oh)
-            if self.use_shift:
-                s = self.shift.sup_v
-                w0 = k * self.w0_step - s  # unpadded origin (may be < 0)
-                w1 = w0 + self.win
-                lo2, hi2 = max(w0, 0), min(w1, ih)
-                rows = np.asarray(get_rows(lo2, hi2))
-                top, bot = lo2 - w0, w1 - hi2
-                if top or bot:
+            if self.use_shift or self.use_mxu:
+                if self.use_mxu:
+                    w0 = self.mxu_row0_base + k * self.mxu_row0_step
+                    mode = {
+                        "clamp": "edge", "reflect": "reflect",
+                    }[self.cfg.edge_mode.value]
+                else:
+                    w0 = k * self.w0_step - self.shift.sup_v
                     mode = {
                         "edge": "edge", "constant": "constant",
                         "reflect": "reflect",
                     }[self.shift.pad_mode]
+                w1 = w0 + self.win  # unpadded origin may be < 0 / > ih
+                lo2, hi2 = max(w0, 0), min(w1, ih)
+                rows = np.asarray(get_rows(lo2, hi2))
+                top, bot = lo2 - w0, w1 - hi2
+                if top or bot:
                     rows = np.pad(
                         rows,
                         [(top, bot)] + [(0, 0)] * (rows.ndim - 1),

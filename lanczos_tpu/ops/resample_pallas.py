@@ -248,9 +248,32 @@ def _mxu_plan_tile(cfg: ResampleConfig, tile_h: int) -> Optional[_MXUPlan]:
     )
     op_v = banded_weights(ih, oh, **kw)
     op_h = banded_weights(iw, ow, **kw)
+    off_v = 0 if cfg.align.value == "zero" else dv - nv
+    return _build_mxu_plan(cfg, tile_h, op_v, op_h, nv, dv, off_v)
+
+
+def _build_mxu_plan(
+    cfg: ResampleConfig,
+    tile_h: int,
+    op_v,
+    op_h,
+    nv: int,
+    dv: int,
+    off_v: int,
+) -> Optional[_MXUPlan]:
+    """Plan construction core, parameterized on prebuilt banded operators.
+
+    ``cfg`` supplies shapes and the nonlinearity flags; the vertical band
+    ``op_v`` must satisfy ``op_v.idx[y].min() >= (2·y·dv + off_v)//(2·nv)
+    − (op_v.a − 1)`` in its local coordinates — true for whole-frame
+    operators, and for window-rebased slices with ``off_v`` shifted by
+    ``2·dv·y0 − 2·nv·row0`` (the streaming chunk path) — every tile is
+    validated against the real indices below either way."""
+    (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
+    nh = reduced_scale(iw, ow)[0]
+    dering = cfg.dering
     s_v = op_v.a  # support per side (= a, or ceil(a·D/N) for downscale)
     s_h = op_h.a
-    off_v = 0 if cfg.align.value == "zero" else dv - nv
     back_v = s_v - 1  # idx min for row y is floor((2yd+off)/2n) - (s-1)
 
     # ---- vertical tiling ----

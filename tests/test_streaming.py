@@ -59,3 +59,40 @@ def test_streaming_dering_and_edges(rng):
     ref = np.asarray(Upscaler(cfg, backend="xla")(img))
     out = StreamingUpscaler(cfg, chunk_rows=8)(img)
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize(
+    "outs, kw, chunk",
+    [
+        ((192, 128), {}, 32),  # integer 2x
+        ((144, 96), {}, 24),  # rational 3/2
+        ((48, 32), {}, 16),  # antialiased downscale 1/2
+        ((192, 128), dict(edge_mode=EdgeMode.REFLECT), 32),
+        ((192, 128), dict(dering=True), 32),
+        ((192, 128), dict(intermediate_quantize=True), 32),
+        ((192, 128), dict(align="center"), 32),
+    ],
+)
+def test_streaming_mxu_chunks(rng, outs, kw, chunk):
+    """The fused MXU chunk path (one interior-phase plan for every chunk,
+    off_eff window-formula shift = the seek_write_index analog) matches
+    the whole-frame gather path <= 1 LSB across config families."""
+    ins = (96, 64)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, ins, out_shape=outs, a=3, **kw)
+    img = rng.integers(0, 256, size=(*ins, 3), dtype=np.uint8)
+    sm = StreamingUpscaler(cfg, chunk_rows=chunk, chunk_backend="mxu")
+    assert sm.use_mxu
+    out = sm(img).astype(int)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img)).astype(int)
+    assert np.abs(out - ref).max() <= 1
+
+
+def test_streaming_mxu_gates():
+    """DROP edges and width-first nonlinearity are not expressible in the
+    padded-window MXU chunk formulation."""
+    drop = ResampleConfig.from_profile(
+        Profile.PRECISE, (96, 64), scale=(2, 1), a=3,
+        edge_mode=EdgeMode.DROP, normalize=True,
+    )
+    with pytest.raises(NotImplementedError):
+        StreamingUpscaler(drop, chunk_rows=32, chunk_backend="mxu")
