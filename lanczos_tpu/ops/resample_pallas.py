@@ -895,8 +895,14 @@ def _fused_kernel_mxu(
         out_ref[0, :, b * cb : (b + 1) * cb] = q.astype(jnp.uint8)
 
 
-def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
-    """(NC, H, W) uint8 UNPADDED planar → (NC, OH, OW) uint8, MXU variant."""
+def _fused_call_mxu(
+    ops: PallasOps, img_planar: jnp.ndarray, wv=None
+) -> jnp.ndarray:
+    """(NC, H, W) uint8 UNPADDED planar → (NC, OH, OW) uint8, MXU variant.
+
+    ``wv`` optionally overrides the vertical (hi, lo) weight stacks — the
+    row-sharded path passes each shard its own slice (edge-exact weights
+    as sharded operands)."""
     mx = ops.mxu
     nc, ih, w = img_planar.shape
     # zero-pad to the DMA alignment rules (8-sublane rows / 128-lane cols;
@@ -910,7 +916,7 @@ def _fused_call_mxu(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
         )
     oh, ow = ops.cfg.out_shape
     ow_pad = mx.n_cb * mx.cb
-    wv_hi, wv_lo = ops.mxu_wv
+    wv_hi, wv_lo = ops.mxu_wv if wv is None else wv
     wh_hi, wh_lo = ops.mxu_wh
     kernel = functools.partial(_fused_kernel_mxu, ops=ops)
     nu = wh_hi.shape[0]

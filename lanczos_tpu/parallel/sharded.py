@@ -28,6 +28,15 @@ BIT-IDENTICAL to the single-chip xla backend — the matmul's different
 f32 summation order flips occasional truncation boundaries, and the
 exactness guarantee (tested in test_sharded.py) is worth more here than
 throughput we cannot benchmark on one chip.
+
+The fused MXU overlay (uint8 inputs, ``use_mxu``) keeps the same
+exactness property against ITS single-chip twin: each shard applies the
+same global banded rows as per-shard dense matrices (edge semantics
+included — no padding tricks, the wrap-around halo rows are provably
+never referenced by edge shards' weights), and a window-offset shift of
+zero columns adds exact 0.0 terms, so sharded output is BIT-IDENTICAL to
+the single-chip pallas MXU backend (tested incl. drop+normalize and
+dering).
 """
 
 from __future__ import annotations
@@ -40,7 +49,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lanczos_tpu.core.config import EdgeMode, Precision, ResampleConfig
+from lanczos_tpu.core.config import EdgeMode, Order, Precision, ResampleConfig
 from lanczos_tpu.ops.resample_xla import SeparableOps, apply_banded, quantize_uint8
 
 
@@ -94,7 +103,10 @@ class ShardedUpscaler:
         data_axis: str = "data",
         rows_axis: str = "rows",
         dtype=jnp.float32,
+        backend: str = "auto",
     ):
+        if backend not in ("auto", "mxu", "gather"):
+            raise ValueError(f"unknown sharded backend {backend!r}")
         self.cfg = cfg
         self.mesh = mesh
         self.data_axis = data_axis
@@ -248,6 +260,122 @@ class ShardedUpscaler:
                 out_specs=spec_in,
             )
         )
+
+        # fused MXU overlay (uint8 inputs): per-shard edge-exact weight
+        # matrices as row-sharded operands; bit-identical to the
+        # single-chip MXU backend (same band values, same f32 summation
+        # order — window-offset zero padding adds exact 0.0 terms)
+        self.use_mxu = False
+        if (
+            not self.fixed
+            and not self.c_exact
+            and backend in ("auto", "mxu")
+            and (backend == "mxu" or jax.default_backend() != "cpu")
+        ):
+            self._setup_mxu(interpret=jax.default_backend() == "cpu")
+        if backend == "mxu" and not self.use_mxu:
+            raise NotImplementedError(
+                "sharded MXU path needs a float config with shard-local "
+                "output rows ≡ 0 (mod N), height-first nonlinearities, "
+                "and a VMEM-feasible uniform per-shard plan"
+            )
+
+    def _setup_mxu(self, interpret: bool) -> None:
+        """Build the per-shard MXU plans, or leave use_mxu = False.
+
+        Every shard covers output rows [r·OL, (r+1)·OL); with OL ≡ 0
+        (mod N) the window-start formula is shard-invariant after the
+        halo rebase (off_eff = off + 2·N·halo), and edge semantics ride
+        in each shard's own matrices — the wrap-around ppermute halo rows
+        of the first/last shard are provably never referenced (edge
+        shards' band indices stay inside their valid rows)."""
+        import dataclasses as _dc
+        import types as _types
+
+        from lanczos_tpu.ops.resample_pallas import (
+            _build_mxu_plan,
+            _split_bf16,
+        )
+
+        cfg = self.cfg
+        n, d = cfg.scale_h
+        if self.out_h_local % n:
+            return
+        if cfg.dering and cfg.edge_mode == EdgeMode.DROP:
+            return
+        if (cfg.dering or cfg.intermediate_quantize) and (
+            cfg.order != Order.HEIGHT_FIRST
+        ):
+            return
+        op_v, op_h = self.ops.op_v, self.ops.op_h
+        if self.halo < op_v.a:
+            return
+        R, ol, il, halo = self.rows_n, self.out_h_local, self.in_h_local, self.halo
+        syn = _dc.replace(
+            cfg,
+            in_shape=(il + 2 * halo, cfg.in_shape[1]),
+            out_shape=(ol, cfg.out_shape[1]),
+        )
+        off = 0 if cfg.align.value == "zero" else d - n
+        off_eff = off + 2 * n * halo
+        plans = None
+        for t in (128, 96, 64, 48, 32):
+            cand = []
+            for r in range(R):
+                idx_r = op_v.idx[r * ol : (r + 1) * ol] - (r * il - halo)
+                op_r = _types.SimpleNamespace(
+                    idx=idx_r, weights=op_v.weights[r * ol : (r + 1) * ol],
+                    a=int(op_v.a),
+                )
+                cand.append(_build_mxu_plan(syn, t, op_r, op_h, n, d, off_eff))
+            if all(p is not None for p in cand):
+                keys = {
+                    (p.tile_out, p.kv, p.ih_eff, p.cb, p.kh, p.n_cb,
+                     p.starts_h, p.uniq_h, p.wh.shape)
+                    for p in cand
+                }
+                if len(keys) == 1 and all(
+                    np.array_equal(p.wh, cand[0].wh) for p in cand[1:]
+                ):
+                    plans = cand
+                    break
+        if plans is None:
+            return
+        wv_all = np.stack([p.wv for p in plans])  # (R, nt, rows_v, kv)
+        wv_hi, wv_lo = _split_bf16(wv_all)
+        spec_w = P(self.rows_axis, None, None, None)
+        put = lambda a: jax.device_put(a, NamedSharding(self.mesh, spec_w))
+        self._mxu_tables = (put(wv_hi), put(wv_lo))
+        self._mxu = _types.SimpleNamespace(
+            cfg=syn,
+            mxu=plans[0],
+            mxu_wv=None,  # overridden per shard
+            mxu_wh=_split_bf16(plans[0].wh),
+            split=cfg.precision != Precision.BF16,
+            interpret=interpret,
+        )
+        spec_in = P(self.data_axis, self.rows_axis, None, None)
+        self._fn_mxu = jax.jit(
+            jax.shard_map(
+                self._shard_fn_mxu,
+                mesh=self.mesh,
+                in_specs=(spec_in, spec_w, spec_w),
+                out_specs=spec_in,
+                check_vma=False,  # pallas out ShapeDtypeStruct carries no vma
+            )
+        )
+        self.use_mxu = True
+
+    def _shard_fn_mxu(self, x, wv_hi, wv_lo):
+        """x: (B_local, h_local, W, C) uint8; wv_*: this shard's stacks."""
+        from lanczos_tpu.ops.resample_pallas import _fused_call_mxu
+
+        ext = halo_exchange_rows(x, self.halo, self.rows_axis, axis=1)
+        b, he, w, c = ext.shape
+        planar = jnp.transpose(ext, (0, 3, 1, 2)).reshape(b * c, he, w)
+        y = _fused_call_mxu(self._mxu, planar, wv=(wv_hi[0], wv_lo[0]))
+        y = y.reshape(b, c, *self._mxu.cfg.out_shape)
+        return jnp.transpose(y, (0, 2, 3, 1))
 
     def _np_dtype(self):
         return np.dtype(jnp.dtype(self.dtype).name)
@@ -420,6 +548,8 @@ class ShardedUpscaler:
             img,
             NamedSharding(self.mesh, P(self.data_axis, self.rows_axis, None, None)),
         )
+        if self.use_mxu and img.dtype == jnp.uint8:
+            return self._fn_mxu(img, *self._mxu_tables)
         if self.c_exact:  # int64 lattice arithmetic needs a local x64 scope
             with jax.enable_x64(True):
                 return self._fn(img, *self._tables)

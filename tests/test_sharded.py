@@ -146,3 +146,45 @@ def test_sharded_c_faithful_bit_exact(rng, a, scale, hw, mesh_shape):
         np.testing.assert_array_equal(
             out[b], c_oracle_upscale(imgs[b], *cfg.out_shape, a)
         )
+
+
+@pytest.mark.parametrize(
+    "outs, kw",
+    [
+        ((128, 96), {}),
+        ((96, 72), {}),  # rational 3/2
+        ((128, 96), dict(edge_mode=EdgeMode.DROP, normalize=True)),
+        ((128, 96), dict(dering=True)),
+        ((128, 96), dict(edge_mode=EdgeMode.REFLECT)),
+        ((128, 96), dict(intermediate_quantize=True)),
+    ],
+)
+def test_sharded_mxu_bit_identical_to_single_chip(rng, outs, kw):
+    """The fused MXU overlay: per-shard edge-exact weight matrices as
+    row-sharded operands.  Same band values + zero-column window shifts
+    (exact 0.0 additions) => BIT-IDENTICAL to the single-chip pallas MXU
+    backend, incl. drop+normalize and dering."""
+    import jax.numpy as jnp
+
+    from lanczos_tpu.ops.resample_pallas import PallasOps, resample_2d_pallas
+
+    ins = (64, 48)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, ins, out_shape=outs, a=3, **kw)
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    imgs = rng.integers(0, 256, size=(2, *ins, 3), dtype=np.uint8)
+    sh = ShardedUpscaler(cfg, mesh, backend="mxu")
+    assert sh.use_mxu
+    out = np.asarray(sh(jnp.asarray(imgs)))
+    ops = PallasOps(cfg, interpret=True, variant="mxu")
+    ref = np.stack(
+        [np.asarray(resample_2d_pallas(jnp.asarray(im), ops)) for im in imgs]
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_mxu_gate():
+    """Fixed-point / c_faithful configs cannot take the MXU overlay."""
+    cfg = ResampleConfig.from_profile(Profile.HLS, (64, 48), scale=(2, 1), a=2)
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    with pytest.raises(NotImplementedError):
+        ShardedUpscaler(cfg, mesh, backend="mxu")
