@@ -202,11 +202,13 @@ class _MXUPlan:
 _MXU_VMEM_BUDGET = 12 << 20
 
 
+@functools.lru_cache(maxsize=64)
 def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     """Build the MXU-variant plan, retrying smaller row tiles when the
     working set exceeds the VMEM budget (e.g. 4K dering triples the
     vertical dot rows); None where no tile fits or a window cannot cover
-    its tile (tiny images)."""
+    its tile (tiny images).  Cached: the auto-backend eligibility check
+    and PallasOps both ask for the same config's plan."""
     for t in (tile_h, 96, 64, 48, 32):
         if t > tile_h:
             continue

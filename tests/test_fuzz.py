@@ -85,3 +85,22 @@ def test_execution_modes_agree_random_config(seed):
     chunk = int(rng.integers(1, 4)) * n * 2
     out_st = StreamingUpscaler(cfg, chunk_rows=chunk)(img)
     np.testing.assert_array_equal(out_st, ref, err_msg=f"stream seed {seed}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_mxu_variant_random_config(seed):
+    """The generalized MXU plan (interpret mode) across random configs —
+    the CI twin of the on-hardware fuzz (48/48 clean)."""
+    from lanczos_tpu.ops.resample_pallas import PallasOps, resample_2d_pallas
+
+    rng = np.random.default_rng(7000 + seed)
+    cfg = _random_cfg(rng)
+    img = rng.integers(0, 256, size=(*cfg.in_shape, 3), dtype=np.uint8)
+    try:
+        ops = PallasOps(cfg, interpret=True, variant="mxu")
+    except NotImplementedError:
+        return  # no feasible plan (e.g. drop-edge dering)
+    out = np.asarray(resample_2d_pallas(img, ops))
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"seed {seed} cfg {cfg}: max diff {diff.max()}"
