@@ -202,16 +202,9 @@ class StreamingUpscaler:
                 break
         if plan is None:
             return
-        from lanczos_tpu.ops.resample_pallas import _split_bf16
+        from lanczos_tpu.ops.resample_pallas import make_mxu_ops
 
-        self._mxu = _types.SimpleNamespace(
-            cfg=syn,
-            mxu=plan,
-            mxu_wv=_split_bf16(plan.wv),
-            mxu_wh=_split_bf16(plan.wh),
-            split=cfg.precision != Precision.BF16,
-            interpret=interpret,
-        )
+        self._mxu = make_mxu_ops(syn, plan, interpret=interpret)
         # global input row of chunk k's window-local row 0 (may be < 0 for
         # k = 0 / beyond ih for the tail — edge-mode padded); the slice
         # was taken at virtual chunk index 2

@@ -26,6 +26,7 @@ Backends:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -88,14 +89,17 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
     The MXU variant (both passes as dense bf16-split matmuls, edge
     handling folded into per-tile weight matrices, PallasOps
     variant="auto") covers ANY linear config — integer and rational
-    scales, antialiased downscales, drop+normalize — and is the fastest
-    path wherever its plan exists (~10× shift_xla at 4K→8K under
-    queue-drained timing), so ``auto`` asks the planner directly.  Dering
-    needs per-tap values, which only the v2 shift-FMA kernel fuses:
-    dering configs route to Pallas only for integer upscale factors ≤ 16
-    (v2's domain).  The CPU interpreter is test-only, never auto-picked.
-    Always excluded (PallasOps raises): the fixed-point HLS path,
-    c_faithful, drop-edge dering, quantized intermediates.
+    scales, antialiased downscales, drop+normalize — plus the fused
+    nonlinearities: the FSR dering clamp (one-hot central-tap bounds in
+    the same matmuls) and the uint8-quantized intermediate, both
+    height-first only (the plan returns None otherwise).  It is the
+    fastest path wherever its plan exists (~10× shift_xla at 4K→8K under
+    queue-drained timing), so ``auto`` asks the planner directly; when
+    the plan is infeasible, dering configs fall back to the v2 shift-FMA
+    kernel (integer upscale factors ≤ 16, its domain).  The CPU
+    interpreter is test-only, never auto-picked.  Always excluded
+    (PallasOps raises): the fixed-point HLS path, c_faithful, drop-edge
+    dering.
     """
     from lanczos_tpu.core.config import EdgeMode
 
@@ -222,10 +226,20 @@ class Upscaler:
             raise ValueError(
                 f"image spatial dims {img.shape[-2:]} != config {self.cfg.in_shape}"
             )
+        fn = self._planar_fn
+        if fn is not None:
+            return fn(img)
+        moved = jnp.moveaxis(img, -3, -1)
+        return jnp.moveaxis(self._fn(moved), -1, -3)
+
+    @functools.cached_property
+    def _planar_fn(self):
+        # built once: a fresh jax.jit(partial(...)) per call would retrace
+        # the kernel every invocation (new cache key each time)
         if self.backend == "pallas":
             from lanczos_tpu.ops.resample_pallas import upscale_planar
 
-            return jax.jit(partial(upscale_planar, ops=self._ops))(img)
+            return jax.jit(partial(upscale_planar, ops=self._ops))
         if self.backend == "shift_xla":
             from lanczos_tpu.ops.resample_shift_xla import (
                 resample_2d_shift_xla,
@@ -233,9 +247,8 @@ class Upscaler:
 
             return jax.jit(
                 partial(resample_2d_shift_xla, ops=self._ops, channel_last=False)
-            )(img)
-        moved = jnp.moveaxis(img, -3, -1)
-        return jnp.moveaxis(self._fn(moved), -1, -3)
+            )
+        return None
 
     @property
     def jitted(self):

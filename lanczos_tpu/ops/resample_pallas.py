@@ -202,7 +202,7 @@ class _MXUPlan:
 _MXU_VMEM_BUDGET = 12 << 20
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)  # plans hold multi-MB f64 weight stacks
 def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     """Build the MXU-variant plan, retrying smaller row tiles when the
     working set exceeds the VMEM budget (e.g. 4K dering triples the
@@ -282,19 +282,16 @@ def _build_mxu_plan(
     # Per-tile dense matrices need no phase alignment — only the Mosaic
     # 8-sublane block rule.  Prefer a tile that divides OH exactly (a
     # non-dividing grid is handled by masked edge blocks, but full tiles
-    # waste no compute); search multiples of 8 downward from tile_h to 64,
-    # then upward to 256; fall back to tile_h floored to 8.
+    # waste no compute); search multiples of 8 downward from tile_h —
+    # which is a HARD upper bound, so the VMEM-retry ladder in _mxu_plan
+    # genuinely shrinks the working set — and fall back to tile_h floored
+    # to 8 (the masked-edge padded grid).
     whole = _round_up(oh, 8)
     tile = 0
-    for t in range((min(tile_h, whole) // 8) * 8, 63, -8):
+    for t in range((min(tile_h, whole) // 8) * 8, max(tile_h // 2, 7), -8):
         if oh % t == 0:
             tile = t
             break
-    if not tile:
-        for t in range(_round_up(tile_h + 1, 8), 257, 8):
-            if oh % t == 0:
-                tile = t
-                break
     if not tile:
         tile = max(8, (min(tile_h, whole) // 8) * 8)
     if tile >= whole:
@@ -410,6 +407,25 @@ def _split_bf16(w: np.ndarray):
     hi = jnp.asarray(w, jnp.bfloat16)
     lo = jnp.asarray(w - np.asarray(hi, np.float64), jnp.bfloat16)
     return hi, lo
+
+
+def make_mxu_ops(cfg: ResampleConfig, plan: _MXUPlan, interpret: bool = False):
+    """Duck-typed stand-in for PallasOps carrying a hand-built plan —
+    the single place that knows which attributes _fused_kernel_mxu /
+    _fused_call_mxu read.  Used by the streaming chunk and row-sharded
+    paths, whose plans come from window-rebased operator slices rather
+    than a whole-frame config.  Set ``mxu_wv = None`` (and pass ``wv=`` at
+    call time) when the vertical stacks are per-shard operands."""
+    import types
+
+    return types.SimpleNamespace(
+        cfg=cfg,
+        mxu=plan,
+        mxu_wv=_split_bf16(plan.wv),
+        mxu_wh=_split_bf16(plan.wh),
+        split=cfg.precision != Precision.BF16,
+        interpret=interpret,
+    )
 
 
 class PallasOps:

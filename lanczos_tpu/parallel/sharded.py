@@ -107,6 +107,7 @@ class ShardedUpscaler:
     ):
         if backend not in ("auto", "mxu", "gather"):
             raise ValueError(f"unknown sharded backend {backend!r}")
+        self._backend_req = backend
         self.cfg = cfg
         self.mesh = mesh
         self.data_axis = data_axis
@@ -346,14 +347,10 @@ class ShardedUpscaler:
         spec_w = P(self.rows_axis, None, None, None)
         put = lambda a: jax.device_put(a, NamedSharding(self.mesh, spec_w))
         self._mxu_tables = (put(wv_hi), put(wv_lo))
-        self._mxu = _types.SimpleNamespace(
-            cfg=syn,
-            mxu=plans[0],
-            mxu_wv=None,  # overridden per shard
-            mxu_wh=_split_bf16(plans[0].wh),
-            split=cfg.precision != Precision.BF16,
-            interpret=interpret,
-        )
+        from lanczos_tpu.ops.resample_pallas import make_mxu_ops
+
+        self._mxu = make_mxu_ops(syn, plans[0], interpret=interpret)
+        self._mxu.mxu_wv = None  # per-shard operands, passed at call time
         spec_in = P(self.data_axis, self.rows_axis, None, None)
         self._fn_mxu = jax.jit(
             jax.shard_map(
@@ -550,6 +547,11 @@ class ShardedUpscaler:
         )
         if self.use_mxu and img.dtype == jnp.uint8:
             return self._fn_mxu(img, *self._mxu_tables)
+        if self._backend_req == "mxu":
+            raise TypeError(
+                f"backend='mxu' processes uint8 frames; got {img.dtype} — "
+                "cast the input or use the gather path (backend='auto')"
+            )
         if self.c_exact:  # int64 lattice arithmetic needs a local x64 scope
             with jax.enable_x64(True):
                 return self._fn(img, *self._tables)

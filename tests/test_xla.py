@@ -117,3 +117,23 @@ def test_order_matters_with_quantization(small_img):
     oh = np.asarray(Upscaler(cfg_h, backend="xla")(small_img))
     assert ow.shape == oh.shape
     assert not np.array_equal(ow, oh)  # uint8 intermediate breaks commutativity
+
+
+@pytest.mark.parametrize("backend", ["shift_xla", "xla", "block"])
+def test_planar_api_matches_interleaved(rng, backend):
+    """Upscaler.planar() (cached jit, no per-call retrace) == transposed
+    interleaved output on every backend class."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (24, 32), scale=(2, 1), a=2
+    )
+    m = Upscaler(cfg, backend=backend)
+    x = rng.integers(0, 256, size=(3, 24, 32), dtype=np.uint8)
+    yp = np.asarray(m.planar(jnp.asarray(x)))
+    yp2 = np.asarray(m.planar(jnp.asarray(x)))  # second call: cached fn
+    yi = np.asarray(m(jnp.asarray(np.moveaxis(x, 0, -1))))
+    np.testing.assert_array_equal(yp, np.moveaxis(yi, -1, 0))
+    np.testing.assert_array_equal(yp, yp2)
+    # batched planar
+    xb = rng.integers(0, 256, size=(2, 3, 24, 32), dtype=np.uint8)
+    yb = np.asarray(m.planar(jnp.asarray(xb)))
+    assert yb.shape == (2, 3, 48, 64)
