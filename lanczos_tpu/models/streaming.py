@@ -102,7 +102,7 @@ class StreamingUpscaler:
             chunk_backend == "mxu" or _jax.default_backend() != "cpu"
         ):
             self._setup_mxu(
-                interpret=_jax.default_backend() == "cpu", dtype=dtype
+                interpret=_jax.default_backend() == "cpu"
             )
         if chunk_backend == "mxu" and not self.use_mxu:
             raise NotImplementedError(
@@ -140,7 +140,7 @@ class StreamingUpscaler:
         else:
             self._fn = jax.jit(self._chunk_fn)
 
-    def _setup_mxu(self, interpret: bool, dtype) -> None:
+    def _setup_mxu(self, interpret: bool) -> None:
         """Build the shared interior-chunk MXU plan, or leave use_mxu=False.
 
         With ``chunk ≡ 0 (mod N)``, ``y0·D/N`` is an integer for every
