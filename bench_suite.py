@@ -119,6 +119,14 @@ def main():
             name, lambda m=model, x=x: m(x), ins, outs, args.iters,
             {"batch": batch or 1},
         )
+        if batch:
+            # the planar layout (no interleave transposes) — the
+            # throughput-pipeline number
+            xp = jnp.transpose(x, (0, 3, 1, 2))
+            run_case(
+                name + "_planar", lambda m=model, x=xp: m.planar(x),
+                ins, outs, args.iters, {"batch": batch},
+            )
 
     if args.bf16:
         from lanczos_tpu.core.config import Precision
