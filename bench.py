@@ -19,26 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Peak HBM bandwidth (bytes/s) by device kind substring.
-HBM_BW = {
-    "v5 lite": 819e9,  # v5e
-    "v5e": 819e9,
-    "v5p": 2765e9,
-    "v5": 819e9,
-    "v4": 1228e9,
-    "v6": 1640e9,  # Trillium
-    "v3": 900e9,
-    "v2": 700e9,
-    "cpu": 50e9,  # arbitrary; CPU runs are smoke tests only
-}
-
-
 def peak_bw(device) -> float:
-    kind = getattr(device, "device_kind", "cpu").lower()
-    for key, bw in HBM_BW.items():
-        if key in kind:
-            return bw
-    return 819e9
+    """Nominal HBM bandwidth from the single chip-spec table."""
+    from lanczos_tpu.utils.profiling import chip_spec
+
+    return chip_spec(device)[0]
 
 
 def measured_bw(total_bytes: int, rb_cost: float, n_iter: int = 30) -> float:

@@ -119,9 +119,10 @@ def main():
             name, lambda m=model, x=x: m(x), ins, outs, args.iters,
             {"batch": batch or 1},
         )
-        if batch:
+        if batch and model.backend in ("pallas", "shift_xla"):
             # the planar layout (no interleave transposes) — the
-            # throughput-pipeline number
+            # throughput-pipeline number; only labeled planar when the
+            # backend has a native planar path
             xp = jnp.transpose(x, (0, 3, 1, 2))
             run_case(
                 name + "_planar", lambda m=model, x=xp: m.planar(x),

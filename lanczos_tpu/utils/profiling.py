@@ -24,6 +24,8 @@ import jax
 from lanczos_tpu.core.config import ResampleConfig
 
 # Peak HBM bandwidth (bytes/s) and bf16 FLOP/s by device-kind substring.
+# The single source of chip-spec truth — bench.py/bench_suite.py resolve
+# through chip_spec() so the tables cannot drift.
 CHIP_SPECS = {
     "v5 lite": (819e9, 394e12),
     "v5e": (819e9, 394e12),
@@ -31,6 +33,7 @@ CHIP_SPECS = {
     "v6": (1640e9, 918e12),
     "v4": (1228e9, 275e12),
     "v3": (900e9, 123e12),
+    "v2": (700e9, 46e12),
     "cpu": (50e9, 1e12),
 }
 
@@ -118,13 +121,26 @@ def steady_time(
 
     lo, hi = max(iters // 8, 1), max(iters, 2)
     floor = max(0.25, 10 * rb_cost)  # differential SNR target (s)
-    while True:
-        t_lo, t_hi = run(lo), run(hi)
-        delta = t_hi - t_lo
-        if delta >= floor or hi >= 20000 or t_hi > 30.0:
-            break
-        lo, hi = hi, hi * 4
-    return max(delta / (hi - lo), 1e-9)
+    t_lo, t_hi = run(lo), run(hi)
+    while (t_hi - t_lo) < floor and hi * 4 <= 20000 and t_hi <= 30.0:
+        # reuse the drained t_hi as the next round's short-loop timing
+        lo, t_lo = hi, t_hi
+        hi *= 4
+        t_hi = run(hi)
+    delta = t_hi - t_lo
+    if delta <= 0:
+        # timer jitter swamped the differential at an escalation cap —
+        # return the (rb-inclusive) drained mean rather than a floored
+        # epsilon that would resurrect the multi-TB/s illusion
+        import sys
+
+        print(
+            f"# WARNING steady_time: non-positive differential "
+            f"({delta:.3g}s at hi={hi}); reporting drained mean",
+            file=sys.stderr,
+        )
+        return t_hi / hi
+    return delta / (hi - lo)
 
 
 @dataclasses.dataclass
