@@ -212,8 +212,8 @@ def _c_exact_2d(img, ops: CExactOps):
     cfg = ops.cfg
     in_h = cfg.in_shape[0]
     out_h, out_w = cfg.out_shape
-    batched = img.ndim == 4
-    x = img if batched else img[None]
+    lead = img.shape[:-3]  # honor the (..., H, W, C) contract
+    x = img.reshape((-1,) + img.shape[-3:])
     x = x.astype(jnp.int64)
     B, C = x.shape[0], x.shape[-1]
 
@@ -237,4 +237,4 @@ def _c_exact_2d(img, ops: CExactOps):
         F = F.at[y].set(_exact_single_row(y, srcs, ops.tbl_v))
 
     out = jnp.moveaxis(F, 0, 1)
-    return out if batched else out[0]
+    return out.reshape(lead + out.shape[1:])

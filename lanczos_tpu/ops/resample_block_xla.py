@@ -222,4 +222,4 @@ def resample_2d_block(img: jnp.ndarray, ops: BlockOps) -> jnp.ndarray:
 
     if was_int or cfg.intermediate_quantize:
         return quantize_uint8(x)
-    return x.astype(img.dtype)
+    return x.astype(ops.dtype)  # match the gather/shift backends' dtype

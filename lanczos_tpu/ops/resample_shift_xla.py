@@ -27,7 +27,15 @@ import numpy as np
 
 from lanczos_tpu.core.config import EdgeMode, Precision, ResampleConfig
 from lanczos_tpu.core.config import reduced_scale
-from lanczos_tpu.ops.resample_pallas import _PAD_MODE, _phase_table
+from lanczos_tpu.core.config import EdgeMode as _EdgeMode
+from lanczos_tpu.core.weights import phase_table as _phase_table
+
+# np.pad mode per edge semantics (shared rule with the Pallas kernels)
+_PAD_MODE = {
+    _EdgeMode.CLAMP: "edge",
+    _EdgeMode.DROP: "constant",
+    _EdgeMode.REFLECT: "reflect",
+}
 
 MAX_PHASES = 32  # beyond this the unrolled slice-FMA graph stops paying off
 
@@ -95,12 +103,15 @@ class ShiftOps:
         nv, dv = cfg.scale_h
         nh, dh = cfg.scale_w
         if nv > MAX_PHASES or nh > MAX_PHASES:
-            raise ValueError(
+            raise NotImplementedError(
                 f"scale phases {nv}, {nh} exceed MAX_PHASES={MAX_PHASES}; "
                 "use the gather or Pallas backend"
             )
         if ih % dv or iw % dh:
-            raise ValueError("input dims must be divisible by the scale D")
+            raise NotImplementedError(
+                "input dims must be divisible by the scale D — use the "
+                "gather, block, or Pallas backend"
+            )
         self.cfg = cfg
         self.dtype = jnp.bfloat16 if cfg.precision == Precision.BF16 else dtype
         self.nv, self.dv = nv, dv
@@ -149,7 +160,9 @@ def resample_2d_shift_xla(
         ops.off_h,
     )
     if was_int:
-        x = jnp.trunc(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)
+        from lanczos_tpu.ops.resample_xla import quantize_uint8
+
+        x = quantize_uint8(x)
     if channel_last:
         x = jnp.moveaxis(x, -3, -1)
     return x

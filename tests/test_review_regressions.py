@@ -91,3 +91,40 @@ def test_hls_sim_short_inputs(rng):
     cfg = ResampleConfig.from_profile(Profile.HLS, (2, 3), scale=(2, 1), a=2)
     dev = np.asarray(Upscaler(cfg)(img))
     np.testing.assert_array_equal(dev, sim)
+
+
+def test_c_exact_arbitrary_leading_batch(rng):
+    """(..., H, W, C) contract: 5D input through the c_faithful path
+    (regression: only ndim 3/4 were handled; 5D resampled a batch dim)."""
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(
+        Profile.C_ORACLE, (8, 8), scale=(2, 1), a=2
+    )
+    m = Upscaler(cfg)
+    x = rng.integers(0, 256, size=(2, 2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(m(x))
+    assert out.shape == (2, 2, 16, 16, 3)
+    ref = np.asarray(m(x[0, 0]))
+    np.testing.assert_array_equal(out[0, 0], ref)
+
+
+def test_block_backend_output_dtype_matches_others(rng):
+    """Float outputs carry ops.dtype on every backend (regression: block
+    cast back to the input dtype, diverging from gather/shift)."""
+    import jax.numpy as jnp
+
+    from lanczos_tpu.core.config import Precision, Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (16, 16), scale=(2, 1), a=2,
+        precision=Precision.BF16,
+    )
+    x = rng.random((16, 16, 3), dtype=np.float32) * 255
+    dts = {
+        b: Upscaler(cfg, backend=b)(x).dtype
+        for b in ("xla", "shift_xla", "block")
+    }
+    assert len(set(dts.values())) == 1, dts

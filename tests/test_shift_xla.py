@@ -82,6 +82,6 @@ def test_shift_rejects_many_phases():
     cfg = ResampleConfig.from_profile(
         Profile.PRECISE, (111 * 4, 111 * 4), scale=(111, 4), a=2
     )
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         ShiftOps(cfg)
     assert Upscaler(cfg, backend="auto").backend == "block"
