@@ -119,13 +119,13 @@ def main(argv=None) -> int:
     if args.bench > 0:
         import jax
 
+        from lanczos_tpu.utils.profiling import readback_cost, steady_time
+
         x = jax.device_put(img) if args.backend != "ref" else img
         jax.block_until_ready(model(x))
-        t0 = time.perf_counter()
-        for _ in range(args.bench):
-            y = model(x)
-        jax.block_until_ready(y)
-        per = (time.perf_counter() - t0) / args.bench
+        # queue-drained differential timing — block_until_ready does NOT
+        # wait on the tunneled dev backend (see utils.profiling)
+        per = steady_time(model, x, iters=args.bench, rb_cost=readback_cost())
         print(f"bench: {per*1e3:.2f} ms/frame  {oh*ow/1e6/per:.1f} Mpix/s")
     return 0
 

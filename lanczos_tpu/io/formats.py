@@ -57,9 +57,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         stride = (w * nb + 3) & ~3
         rows = np.frombuffer(data[pix_off : pix_off + stride * h], np.uint8)
         px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
-        img = px[:, :, [2, 1, 0, 3][: (4 if nb == 4 else 3)]]
-        if nb == 4:
-            img = np.concatenate([px[:, :, [2, 1, 0]], px[:, :, 3:4]], -1)
+        img = px[:, :, [2, 1, 0, 3][: (4 if nb == 4 else 3)]]  # BGR(A)->RGB(A)
     else:
         raise FormatError(f"BMP bpp {bpp} unsupported")
     if not top_down:
@@ -221,7 +219,7 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
             prev = -1
             continue
         if code == eoi:
-            break
+            break  # early EOI: truncation check below
         if prev < 0:
             if code >= clear:
                 raise FormatError("corrupt LZW stream (bad first code)")
@@ -249,10 +247,25 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
             if next_code == (1 << code_size) and code_size < 12:
                 code_size += 1
         prev = code
+    if n_out < npixels:
+        # a truncated stream exhausts the bits (read_code returns a
+        # synthetic EOI) — raising beats returning np.empty garbage rows
+        raise FormatError(
+            f"truncated GIF image data: {n_out}/{npixels} pixels decoded"
+        )
     return out
 
 
 def decode_gif(data: bytes) -> np.ndarray:
+    try:
+        return _decode_gif(data)
+    except (IndexError, struct.error) as e:
+        # running off the end of the byte stream mid-structure is a
+        # truncated/corrupt file, not an internal error
+        raise FormatError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise FormatError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])

@@ -72,6 +72,9 @@ def decode(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

@@ -74,18 +74,33 @@ class FrameWriter:
     """Asynchronous PNG writer: encode+write on background threads so the
     device loop never blocks on the host encoder."""
 
-    def __init__(self, encode_workers: int = 4, compress_level: int = 6):
+    def __init__(
+        self,
+        encode_workers: int = 4,
+        compress_level: int = 6,
+        max_pending: int = 8,
+    ):
         self.pool = _fut.ThreadPoolExecutor(max(1, encode_workers))
         self.level = compress_level
         self._futs: list = []
         self._lock = threading.Lock()
+        # backpressure: without a bound, a slow encoder buffers whole
+        # frames (an 8K RGB frame is ~100 MB) until OOM, and errors only
+        # surface at close()
+        self._slots = threading.Semaphore(max(1, max_pending))
 
     def write(self, path, img: np.ndarray) -> None:
         img = np.asarray(img)
+        self._slots.acquire()
+
+        def task():
+            try:
+                return write_png(path, img, self.level)
+            finally:
+                self._slots.release()
+
         with self._lock:
-            self._futs.append(
-                self.pool.submit(write_png, path, img, self.level)
-            )
+            self._futs.append(self.pool.submit(task))
 
     def close(self) -> None:
         with self._lock:

@@ -12,7 +12,7 @@ fallback that vectorizes what it can (None/Sub/Up fully, Average/Paeth per
 pixel along the row).
 
 Supported: 8-bit greyscale, grey+alpha, RGB, RGBA, and paletted PNGs,
-non-interlaced (interlace raises).  16-bit channels are read and narrowed
+sequential AND Adam7-interlaced.  16-bit channels are read and narrowed
 to 8 with an explicit ``>> 8``.
 """
 

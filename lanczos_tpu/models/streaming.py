@@ -96,14 +96,10 @@ class StreamingUpscaler:
         # reproduced by edge-mode padding the window
         self.use_mxu = False
         self.use_shift = False
-        import jax as _jax
-
         if chunk_backend in ("auto", "mxu") and (
-            chunk_backend == "mxu" or _jax.default_backend() != "cpu"
+            chunk_backend == "mxu" or jax.default_backend() != "cpu"
         ):
-            self._setup_mxu(
-                interpret=_jax.default_backend() == "cpu"
-            )
+            self._setup_mxu(interpret=jax.default_backend() == "cpu")
         if chunk_backend == "mxu" and not self.use_mxu:
             raise NotImplementedError(
                 "MXU chunk path needs chunk % N == 0 linear/height-first "

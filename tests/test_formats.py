@@ -93,3 +93,18 @@ def test_dispatch_by_magic_and_extension(tmp_path, rng):
     assert np.array_equal(read_image(p), arr)
     with pytest.raises(ValueError):
         decode_image(b"\x00\x01nonsense")
+
+
+@pytest.mark.parametrize("keep", [0.5, 0.75, 0.9])
+def test_gif_truncated_raises(rng, keep):
+    """Truncated GIF data raises FormatError at any cut point — either a
+    block-structure overrun or the decoded-pixel shortfall (regression:
+    a short LZW stream returned np.empty garbage rows)."""
+    import io as _io
+
+    im = PIL.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    buf = _io.BytesIO()
+    im.save(buf, format="GIF")
+    data = buf.getvalue()
+    with pytest.raises(FormatError):
+        decode_gif(data[: int(len(data) * keep)])

@@ -92,3 +92,20 @@ def test_read_image_dispatch(tmp_path, rng):
     assert got.shape == (24, 32, 3)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"\x00\x01\x02\x03garbage")
+
+
+def test_fill_bytes_before_marker():
+    """0xFF fill bytes before a marker (T.81 B.1.1.2) must not desync the
+    marker scan (regression: they were parsed as a marker + bogus
+    length, skipping past SOS)."""
+    buf = io.BytesIO()
+    arr = _smooth(24, 24)
+    PIL.fromarray(arr).save(buf, format="JPEG")
+    data = bytearray(buf.getvalue())
+    # inject fill bytes before the SOS marker (FF DA)
+    sos = bytes(data).find(b"\xff\xda")
+    assert sos > 0
+    data[sos:sos] = b"\xff\xff\xff"
+    got = decode(bytes(data))
+    want = decode(buf.getvalue())
+    np.testing.assert_array_equal(got, want)
