@@ -188,7 +188,7 @@ class ResampleConfig:
         in_shape: Tuple[int, int],
         out_shape: Optional[Tuple[int, int]] = None,
         scale: Optional[Tuple[int, int]] = None,
-        a: int = 2,
+        a: int = 3,  # match the dataclass default and upscale()
         **overrides,
     ) -> "ResampleConfig":
         """Build a config for a named semantic profile.

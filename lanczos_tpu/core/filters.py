@@ -28,19 +28,18 @@ _REGISTRY: Dict[str, "Filter"] = {}
 class Filter:
     """A named, fixed-support resampling kernel."""
 
-    def __init__(self, name: str, fn: FilterFn, default_a: int):
+    def __init__(self, name: str, fn: FilterFn):
         self.name = name
         self.fn = fn
-        self.default_a = default_a
 
     def __call__(self, t: np.ndarray, a: int) -> np.ndarray:
         t = np.asarray(t, dtype=np.float64)
         return np.where(np.abs(t) < a, self.fn(t, a), 0.0)
 
 
-def register(name: str, default_a: int = 2):
+def register(name: str):
     def deco(fn: FilterFn) -> Filter:
-        filt = Filter(name, fn, default_a)
+        filt = Filter(name, fn)
         _REGISTRY[name] = filt
         return filt
 
@@ -54,19 +53,19 @@ def get_filter(name: str) -> Filter:
         raise KeyError(f"unknown filter {name!r}; have {sorted(_REGISTRY)}")
 
 
-@register("lanczos", default_a=2)
+@register("lanczos")
 def lanczos(t: np.ndarray, a: int) -> np.ndarray:
     # np.sinc is the normalized sinc sin(pi x)/(pi x) — exactly the oracle's
     # sinc(M_PI*x)*sinc(M_PI*x/a) (full_TB.h:51-53).
     return np.sinc(t) * np.sinc(t / a)
 
 
-@register("triangle", default_a=1)
+@register("triangle")
 def triangle(t: np.ndarray, a: int) -> np.ndarray:
     return np.maximum(0.0, 1.0 - np.abs(t) / a)
 
 
-@register("box", default_a=1)
+@register("box")
 def box(t: np.ndarray, a: int) -> np.ndarray:
     return np.where(np.abs(t) <= 0.5, 1.0, 0.0)
 
@@ -82,13 +81,13 @@ def _mitchell_family(t: np.ndarray, b: float, c: float) -> np.ndarray:
     return out / 6.0
 
 
-@register("mitchell", default_a=2)
+@register("mitchell")
 def mitchell(t: np.ndarray, a: int) -> np.ndarray:
     del a  # fixed support 2
     return _mitchell_family(t, 1.0 / 3.0, 1.0 / 3.0)
 
 
-@register("catmull_rom", default_a=2)
+@register("catmull_rom")
 def catmull_rom(t: np.ndarray, a: int) -> np.ndarray:
     del a  # fixed support 2
     return _mitchell_family(t, 0.0, 0.5)

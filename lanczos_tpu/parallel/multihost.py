@@ -39,7 +39,10 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax <=0.8: "...already initialized"; jax 0.9: "distributed.
+        # initialize should only be called once."
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -64,10 +67,12 @@ def dcn_aware_mesh(
     # jax.devices() orders by (process, local id): reshaping to
     # (n_hosts·k, rows_n) keeps each rows group within one process as long
     # as rows_n divides the local device count.
-    if local % rows_n and rows_n % local:
+    if local % rows_n:
+        # rows_n > local (even as an exact multiple) would put one halo
+        # ring across hosts — the DCN pathology this function prevents
         raise ValueError(
-            f"rows_per_host {rows_n} must divide or be divisible by the "
-            f"local device count {local} to stay ICI-local"
+            f"rows_per_host {rows_n} must divide the local device count "
+            f"{local} to stay ICI-local"
         )
     grid = np.array(devices).reshape(len(devices) // rows_n, rows_n)
     return Mesh(grid, (data_axis, rows_axis))

@@ -31,4 +31,6 @@ def psnr(a, b, peak: float = 255.0) -> float:
 def max_abs_err(a, b) -> float:
     a = np.asarray(a).astype(np.float64)
     b = np.asarray(b).astype(np.float64)
+    if a.shape != b.shape:  # same contract as rms_error: no broadcasting
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
     return float(np.max(np.abs(a - b)))
