@@ -40,7 +40,10 @@ def native_lib() -> Optional[_Lib]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO):
+        stale = os.path.exists(_SO) and os.path.exists(_SRC) and (
+            os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        )
+        if not os.path.exists(_SO) or stale:  # rebuild on source edits
             try:
                 subprocess.run(
                     ["g++", "-O2", "-ffp-contract=off", "-shared", "-fPIC",

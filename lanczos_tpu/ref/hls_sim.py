@@ -58,6 +58,10 @@ def hls_stream_upscale(
 
     n_v, d_v = reduced_scale(in_h, out_h)
     n_h, d_h = reduced_scale(in_w, out_w)
+    if n_v < d_v or n_h < d_h:
+        # the quantized step predicate degenerates for q >= 2^P and would
+        # return plausible-looking garbage; the HLS design is upscale-only
+        raise ValueError("the HLS stream path is upscale-only")
     lut_v = hls_lut(a, n_v, P, lut_mode)
     lut_h = hls_lut(a, n_h, P, lut_mode)
     q_v = (d_v << P) // n_v

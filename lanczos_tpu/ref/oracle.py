@@ -41,8 +41,8 @@ def _double_to_uint8(x: np.ndarray) -> np.ndarray:
 def _oracle_weights(out_size: int, in_size: int, a: int):
     """Per-output-position tap range + fp64 weights, exactly as the C loop.
 
-    Returns (lo, hi, idx, w): lo/hi inclusive tap bounds (out,), idx
-    (out, 2a) clipped indices, w (out, 2a) weights zeroed outside [lo, hi].
+    Returns (idx, w): idx (out, 2a) clipped indices, w (out, 2a) weights
+    zeroed outside the reference's inclusive [lo, hi] tap bounds.
     """
     n, d = reduced_scale(in_size, out_size)
     scale = float(n) / float(d)  # the reference's double SCALE (lanczos.h:112)
@@ -79,6 +79,12 @@ def c_oracle_upscale(img: np.ndarray, out_h: int, out_w: int, a: int = 2) -> np.
     img = np.asarray(img)
     assert img.dtype == np.uint8 and img.ndim == 3
     in_h, in_w, c = img.shape
+    if out_h < in_h or out_w < in_w:
+        raise ValueError(
+            "c_oracle_upscale is upscale-only (the reference C path, "
+            f"full_TB.h, never downscales); got {in_h}x{in_w} -> "
+            f"{out_h}x{out_w}"
+        )
 
     # -- width pass (lanczos_interpolate_row per input row), uint8 intermediate
     buf = np.zeros((out_h, out_w, c), dtype=np.uint8)
@@ -136,6 +142,7 @@ def clean_resample_2d(img: np.ndarray, cfg: ResampleConfig) -> np.ndarray:
             cfg.filter,
             cfg.edge_mode,
             cfg.normalize,
+            align=cfg.align.value,
         )
         acc = np.zeros((out_size,) + x.shape[1:], dtype=np.float64)
         for j in range(op.taps):

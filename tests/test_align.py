@@ -95,3 +95,17 @@ def test_center_sharded_and_streaming(rng):
 
     out_st = StreamingUpscaler(cfg, chunk_rows=16)(img)
     np.testing.assert_array_equal(out_st, ref)
+
+
+def test_ref_backend_honors_center_align(rng):
+    """clean_resample_2d passes cfg.align through (regression: the ref
+    backend built zero-aligned weights for center-aligned configs — a
+    half-pixel-shifted, silently wrong oracle)."""
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (16, 12), scale=(2, 1), a=2, align="center"
+    )
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    dev = np.asarray(Upscaler(cfg, backend="xla")(img)).astype(np.float64)
+    ref = np.asarray(Upscaler(cfg, backend="ref")(img))
+    ref = np.clip(ref, 0, 255)
+    assert np.abs(dev - ref).max() <= 1.0
