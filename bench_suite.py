@@ -98,15 +98,26 @@ def main():
         ("1080p->4K_a3", (1080, 1920), (2160, 3840), 3, None),
         ("batch32_1080p->4K_a3", (1080, 1920), (2160, 3840), 3, 32),
         ("4K->8K_a3", (2160, 3840), (4320, 7680), 3, None),
-        # prime-ish arbitrary scale (N=4321/7681) — exercises the blocked
-        # banded-matmul path (shift-FMA caps at 32 phases)
+        # prime-ish arbitrary scale (N=4321/7681) — exercises the
+        # generalized per-block plans (shift-FMA caps at 32 phases)
         ("4K->8K+1px_a3_largeN", (2160, 3840), (4321, 7681), 3, None),
-        # drop+normalize — also block-path (formerly the ~39 ms gather)
+        # drop+normalize — fused in the MXU kernel (formerly ~39 ms gather)
         ("4K->8K_a3_dropnorm", (2160, 3840), (4320, 7680), 3, None),
     ]
+    if jax.default_backend() == "cpu":
+        # off-chip smoke run: tiny analogs of every row (CPU at 4K takes
+        # minutes per case and measures nothing meaningful)
+        cases = [
+            ("64x64->128x128_a2_smoke", (64, 64), (128, 128), 2, None),
+            ("135p->270p_a3_smoke", (136, 240), (272, 480), 3, None),
+            ("batch4_135p_smoke", (136, 240), (272, 480), 3, 4),
+            ("270p->540p_a3_smoke", (272, 480), (544, 960), 3, None),
+            ("largeN_smoke", (272, 480), (545, 961), 3, None),
+            ("smoke_dropnorm", (272, 480), (544, 960), 3, None),
+        ]
     for name, ins, outs, a, batch in cases:
         kw = {}
-        if name.endswith("dropnorm"):
+        if "dropnorm" in name:
             from lanczos_tpu.core.config import EdgeMode
 
             kw = dict(edge_mode=EdgeMode.DROP, normalize=True)
@@ -147,11 +158,14 @@ def main():
         )
 
     # streaming (bounded memory): whole-frame wrapper, host loop included
+    sins, souts, schunk = (2160, 3840), (4320, 7680), 1024
+    if jax.default_backend() == "cpu":
+        sins, souts, schunk = (272, 480), (544, 960), 128
     cfg = ResampleConfig.from_profile(
-        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+        Profile.PRECISE, sins, out_shape=souts, a=3
     )
-    sm = StreamingUpscaler(cfg, chunk_rows=1024)
-    frame = np.asarray(img(2160, 3840))
+    sm = StreamingUpscaler(cfg, chunk_rows=schunk)
+    frame = np.asarray(img(*sins))
     t0 = time.perf_counter()
     out = sm(frame)
     dt0 = time.perf_counter() - t0  # includes compile
@@ -161,9 +175,9 @@ def main():
         lambda _=None: sm(frame), None,
         iters=max(1, args.iters // 3), rb_cost=_rb(),
     )
-    mpix = 4320 * 7680 / 1e6
+    mpix = souts[0] * souts[1] / 1e6
     print(json.dumps({
-        "metric": "stream4K->8K_a3_chunk1024",
+        "metric": f"stream{souts[1]}x{souts[0]}_a3_chunk{schunk}",
         "value": round(mpix / dt, 1),
         "unit": "Mpix/s",
         "vs_baseline": 0.0,
