@@ -11,7 +11,7 @@ Three builders:
 
 - :func:`banded_weights` — general per-output-row band (indices + weights),
   the semantics anchor used by every backend.
-- :func:`phase_weights` — the N-phase compressed form used by the fast
+- :func:`phase_table` / :class:`PhaseWeights` — the N-phase compressed form used by the fast
   strided-gather / Pallas paths (interior rows only; edges are corrected by
   the banded form).
 - :func:`hls_schedule` / :func:`hls_lut` — bit-faithful reconstruction of
@@ -257,8 +257,10 @@ def hls_lut(a: int, n: int, bit_precision: int, mode: str = "fp64") -> np.ndarra
     i = np.arange(a * n + 1, dtype=np.float64)
     if mode == "hls":
         x = np.floor(i / n * scale) / scale  # (kernel_t)i / SCALE_N, AP_TRN
-    else:
+    elif mode == "fp64":
         x = i / n
+    else:
+        raise ValueError(f"unknown hls_lut mode {mode!r}")
     with np.errstate(invalid="ignore", divide="ignore"):
         w = np.where(
             x == 0.0,
@@ -314,6 +316,11 @@ def hls_schedule(
       bottom/right edge (``cyclic_buffer.h:30-42``, ``worker.cpp:244``).
     """
     n, d = reduced_scale(in_size, out_size)
+    if n < d:
+        # q >= 2^P degenerates the step predicate (always true): the
+        # window would advance one row per output and silently return
+        # top-of-image garbage; the reference HLS design is upscale-only
+        raise ValueError("the HLS stream schedule is upscale-only")
     P = bit_precision
     mask = (1 << P) - 1
     q = (d << P) // n  # num_el_t(1/SCALE) with AP_TRN truncation

@@ -54,6 +54,17 @@ class HLSOps:
         lut_h = hls_lut(cfg.a, n_h, P, lut_mode)
         sv: HLSSchedule = hls_schedule(in_h, out_h, cfg.a, P)
         sh: HLSSchedule = hls_schedule(in_w, out_w, cfg.a, P)
+        if sv.lut_overflow or sh.lut_overflow:
+            import warnings
+
+            warnings.warn(
+                "HLS schedule indexes past the a*N ROM for this scale "
+                "(a latent out-of-bounds in the reference hardware, "
+                "core/weights.py lut_overflow); the clipped LUT used "
+                "here may not match real hardware's undefined OOB read",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return cls(
             cfg=cfg,
             v_eff=jnp.asarray(sv.eff_idx),

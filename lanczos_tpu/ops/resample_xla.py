@@ -15,9 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lanczos_tpu.core.config import Order, ResampleConfig
 from lanczos_tpu.core.weights import BandedOperator, banded_weights
