@@ -8,6 +8,9 @@ from lanczos_tpu.core.config import Profile, ResampleConfig
 from lanczos_tpu.models.upscaler import Upscaler
 
 
+@pytest.mark.filterwarnings(
+    "ignore:HLS schedule indexes past:RuntimeWarning"
+)
 def test_sharded_hls_index_drift(rng):
     """Finding 1: scale 3/2 fixed-point — the quantized step predicate's
     index drift exceeded the a-row halo and corrupted shard output."""
@@ -80,6 +83,9 @@ def test_cli_bench_with_ref_backend(tmp_path, rng):
     assert rc == 0
 
 
+@pytest.mark.filterwarnings(
+    "ignore:HLS schedule indexes past:RuntimeWarning"
+)
 def test_hls_sim_short_inputs(rng):
     """Finding 7: the stream simulator crashed for inputs with fewer than
     a+1 rows/cols while the device path handled them."""
