@@ -243,6 +243,23 @@ def test_mxu_dering(rng, scale, edge):
     assert diff.max() <= 1, f"max diff {diff.max()}"
 
 
+@pytest.mark.parametrize(
+    "ins, outs",
+    [
+        ((60, 80), (120, 120)),  # 2x vertical, 3/2 horizontal
+        ((64, 90), (32, 135)),   # downscale vertical, upscale horizontal
+        ((50, 64), (175, 64)),   # 7/2 vertical, identity horizontal
+    ],
+)
+def test_mxu_anisotropic(rng, ins, outs):
+    """Per-axis independent plans: mixed up/down/identity scales."""
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, ins, out_shape=outs, a=3)
+    img = rng.integers(0, 256, size=(*ins, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, variant="mxu")
+    assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+
+
 def test_mxu_dering_order_and_drop_gates():
     """Width-first dering and drop-edge dering have no fused plan."""
     from lanczos_tpu.core.config import Order
