@@ -14,7 +14,7 @@ Public API:
     - ``lanczos_tpu.ops``:    XLA and Pallas resampling ops
     - ``lanczos_tpu.parallel``: mesh sharding + halo exchange
     - ``lanczos_tpu.models``: high-level upscaler pipelines
-    - ``lanczos_tpu.io``:     PNG codec (pure NumPy + native C++ fast path)
+    - ``lanczos_tpu.io``:     image codecs (PNG/JPEG/BMP/TGA/PNM/GIF; native C++ fast paths)
     - ``lanczos_tpu.utils``:  metrics, profiling, roofline
 """
 
@@ -30,3 +30,4 @@ from lanczos_tpu.core.config import (  # noqa: F401
 from lanczos_tpu.models.streaming import StreamingUpscaler  # noqa: F401
 from lanczos_tpu.models.upscaler import Upscaler, upscale  # noqa: F401
 from lanczos_tpu.models.video import VideoUpscaler  # noqa: F401
+from lanczos_tpu.parallel.sharded import ShardedUpscaler  # noqa: F401
