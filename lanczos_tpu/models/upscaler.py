@@ -213,7 +213,33 @@ class Upscaler:
             raise ValueError(
                 f"image spatial dims {img.shape[-3:-1]} != config {self.cfg.in_shape}"
             )
+        if self.backend == "pallas" and img.dtype not in (
+            jnp.uint8,
+            np.uint8,
+        ):
+            # the fused kernel is uint8→uint8 by design; quantizing a
+            # float input would silently diverge from the float-in/
+            # float-out contract the other backends honor
+            return self._float_fallback_fn(img)
         return self._fn(img)
+
+    @functools.cached_property
+    def _float_fallback_fn(self):
+        from lanczos_tpu.ops.resample_block_xla import (
+            BlockOps,
+            resample_2d_block,
+        )
+
+        if _shift_eligible(self.cfg):
+            from lanczos_tpu.ops.resample_shift_xla import (
+                ShiftOps,
+                resample_2d_shift_xla,
+            )
+
+            ops = ShiftOps(self.cfg, self.dtype)
+            return jax.jit(partial(resample_2d_shift_xla, ops=ops))
+        ops = BlockOps(self.cfg, self.dtype)
+        return jax.jit(partial(resample_2d_block, ops=ops))
 
     def planar(self, img) -> jnp.ndarray:
         """Planar fast path: (C, H, W) or (B, C, H, W) uint8 → same rank.

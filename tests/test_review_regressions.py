@@ -134,3 +134,20 @@ def test_block_backend_output_dtype_matches_others(rng):
         for b in ("xla", "shift_xla", "block")
     }
     assert len(set(dts.values())) == 1, dts
+
+
+def test_pallas_backend_float_input_stays_float(rng):
+    """The fused kernel is uint8-native; float inputs route to a
+    float-capable fallback instead of being silently quantized
+    (float-in/float-out contract parity with the other backends)."""
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (16, 12), scale=(2, 1), a=2
+    )
+    x = (rng.random((16, 12, 3)) * 255).astype(np.float32)
+    out_p = np.asarray(Upscaler(cfg, backend="pallas")(x))
+    out_x = np.asarray(Upscaler(cfg, backend="xla")(x))
+    assert out_p.dtype == out_x.dtype == np.float32
+    assert np.abs(out_p - out_x).max() < 1e-3
