@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import ctypes
 import struct
-from typing import Dict, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import concurrent.futures as _fut
 import os
 import queue
 import threading
-from typing import Callable, Iterable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Optional, Tuple
 
 import numpy as np
 

@@ -30,8 +30,7 @@ Device formulations, fastest first (auto-selected):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ launch); this module is for long/unbounded sequences.
 from __future__ import annotations
 
 import collections
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import jax
 import numpy as np

@@ -34,7 +34,7 @@ term (≲2⁻³²) dropped — the same trick as the Pallas kernel
 from __future__ import annotations
 
 import string
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

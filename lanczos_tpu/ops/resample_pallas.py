@@ -48,7 +48,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lanczos_tpu.core.config import EdgeMode, Order, Precision, ResampleConfig
 from lanczos_tpu.core.config import reduced_scale
-from lanczos_tpu.core.filters import get_filter
 
 
 def _round_up(x: int, m: int) -> int:

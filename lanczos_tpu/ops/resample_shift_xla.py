@@ -19,14 +19,12 @@ paying off past N ≈ 32).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from lanczos_tpu.core.config import EdgeMode, Precision, ResampleConfig
-from lanczos_tpu.core.config import reduced_scale
 from lanczos_tpu.core.config import EdgeMode as _EdgeMode
 from lanczos_tpu.core.weights import phase_table as _phase_table
 

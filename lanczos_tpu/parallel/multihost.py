@@ -15,7 +15,7 @@ only in true multi-process jobs (one process per host).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -41,7 +41,6 @@ dering).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
