@@ -42,7 +42,7 @@ from lanczos_tpu.ops.resample_xla import SeparableOps, resample_2d_xla
 def _shift_eligible(cfg: ResampleConfig) -> bool:
     """Whether the strided shift-FMA XLA path covers this config.
 
-    It is the fastest single-chip path (XLA fuses each pass into one
+    It is the fastest non-Pallas single-chip path (XLA fuses each pass into one
     loop); needs float precision, no c-faithful quirk, phase counts within
     the unroll budget, and D-divisible input dims.
     """

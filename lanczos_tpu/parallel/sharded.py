@@ -231,7 +231,7 @@ class ShardedUpscaler:
                     "shards along the rows axis"
                 )
             self.ops = SeparableOps(cfg, dtype)
-            # shift-FMA fast path (the default single-chip formulation)
+            # shift-FMA fast path (the fastest non-Pallas formulation)
             # applies per shard when the phase pattern is shard-invariant:
             # local output rows a multiple of N, local input rows of D
             from lanczos_tpu.models.upscaler import _shift_eligible
