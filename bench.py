@@ -28,13 +28,19 @@ def peak_bw(device) -> float:
 
 def measured_bw(total_bytes: int, rb_cost: float, n_iter: int = 30) -> float:
     """Achievable HBM bandwidth (bytes/s), measured with a device-resident
-    uint8 stream kernel moving the same traffic as the benchmark (read N/2 +
-    write N/2 bytes), timed with the queue-draining steady_time (the
-    tunnel's block_until_ready does not actually wait — round-2 finding).
-    Gives ``vs_baseline`` a meaningful ≤1 denominator."""
+    uint8 stream kernel (read N + write N bytes), timed with the
+    queue-draining steady_time (the tunnel's block_until_ready does not
+    actually wait — round-2 finding).  Gives ``vs_baseline`` a meaningful
+    ≤1 denominator.
+
+    The buffer is at least 256 MB regardless of the benchmark's own
+    traffic: below ~0.5 ms/call the loop is dispatch-rate-bound on this
+    tunnel and the measurement swings 240–650 GB/s run-to-run (measured);
+    at 256 MB (~0.8 ms/call) it is stable at the chip's true achievable
+    ~650 GB/s, so the roofline denominator stops wobbling."""
     from lanczos_tpu.utils.profiling import steady_time
 
-    n = max(total_bytes // 2, 1 << 20)
+    n = max(total_bytes // 2, 256 << 20)
     x = jnp.zeros((n,), jnp.uint8)
     fn = jax.jit(lambda v: v ^ jnp.uint8(1))
     dt = steady_time(fn, x, iters=n_iter, rb_cost=rb_cost)

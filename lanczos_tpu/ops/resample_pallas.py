@@ -202,7 +202,9 @@ _MXU_VMEM_BUDGET = 12 << 20
 
 
 @functools.lru_cache(maxsize=8)  # plans hold multi-MB f64 weight stacks
-def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
+def _mxu_plan(
+    cfg: ResampleConfig, tile_h: int = 128, cb_target: int = 128
+) -> Optional[_MXUPlan]:
     """Build the MXU-variant plan, retrying smaller row tiles when the
     working set exceeds the VMEM budget (e.g. 4K dering triples the
     vertical dot rows); None where no tile fits or a window cannot cover
@@ -211,13 +213,15 @@ def _mxu_plan(cfg: ResampleConfig, tile_h: int = 128) -> Optional[_MXUPlan]:
     for t in (tile_h, 96, 64, 48, 32):
         if t > tile_h:
             continue
-        plan = _mxu_plan_tile(cfg, t)
+        plan = _mxu_plan_tile(cfg, t, cb_target)
         if plan is not None:
             return plan
     return None
 
 
-def _mxu_plan_tile(cfg: ResampleConfig, tile_h: int) -> Optional[_MXUPlan]:
+def _mxu_plan_tile(
+    cfg: ResampleConfig, tile_h: int, cb_target: int = 128
+) -> Optional[_MXUPlan]:
     """Build the MXU-variant plan for one row-tile target, or None where
     it does not apply (VMEM-exceeding windows, or images smaller than one
     contraction window).
@@ -250,7 +254,7 @@ def _mxu_plan_tile(cfg: ResampleConfig, tile_h: int) -> Optional[_MXUPlan]:
     op_v = banded_weights(ih, oh, **kw)
     op_h = banded_weights(iw, ow, **kw)
     off_v = 0 if cfg.align.value == "zero" else dv - nv
-    return _build_mxu_plan(cfg, tile_h, op_v, op_h, nv, dv, off_v)
+    return _build_mxu_plan(cfg, tile_h, op_v, op_h, nv, dv, off_v, cb_target)
 
 
 def _build_mxu_plan(
@@ -261,6 +265,7 @@ def _build_mxu_plan(
     nv: int,
     dv: int,
     off_v: int,
+    cb_target: int = 128,
 ) -> Optional[_MXUPlan]:
     """Plan construction core, parameterized on prebuilt banded operators.
 
@@ -342,6 +347,13 @@ def _build_mxu_plan(
     cb = nh * 128 // math.gcd(nh, 128)
     if cb > 512:
         cb = 128
+    # cb_target widens the block in phase-lcm multiples.  Measured (bf16
+    # 4K→8K, don't re-derive): WIDER IS STRICTLY WORSE — cost scales
+    # linearly with kh (cb 128/256/512/1024 → 0.265/0.366/0.510/0.781
+    # ms/frame), i.e. the 60 small (m=128,k=72,n=128) dots already run at
+    # ~85% of MXU peak and the dense-window MAC volume itself is the cost,
+    # which the minimum cb minimizes.  The knob stays for ablation.
+    cb *= max(1, cb_target // cb)
     n_cb = -(-ow // cb)
     ext_h = 0
     for b in range(n_cb):
