@@ -290,9 +290,17 @@ def upscale(
     backend: str = "auto",
     **overrides,
 ) -> jnp.ndarray:
-    """One-shot functional API: upscale (…, H, W, C) by N/D or to out_shape."""
+    """One-shot functional API: upscale (…, H, W, C) by N/D or to out_shape.
+
+    A bare 2-D (H, W) image is treated as single-channel grayscale (the
+    behavior of the reference's stb loader with ``req_comp=1``) and
+    returned 2-D."""
+    gray2d = getattr(img, "ndim", 0) == 2
+    if gray2d:
+        img = img[..., None]
     h, w = img.shape[-3], img.shape[-2]
     cfg = ResampleConfig.from_profile(
         profile, (h, w), out_shape=out_shape, scale=scale, a=a, **overrides
     )
-    return Upscaler(cfg, backend=backend)(img)
+    out = Upscaler(cfg, backend=backend)(img)
+    return out[..., 0] if gray2d else out

@@ -67,3 +67,25 @@ def test_channel_independence(rng):
     for c in range(3):
         mono = np.repeat(img[..., c : c + 1], 3, axis=-1)
         np.testing.assert_array_equal(np.asarray(m(mono))[..., 0], full[..., c])
+
+
+def test_channel_counts_and_2d_gray(rng):
+    """The API accepts any channel count (the reference's NUM_CHANNELS is a
+    free macro) and treats a bare 2-D image as 1-channel grayscale
+    (stb req_comp=1 behavior), returning it 2-D."""
+    from lanczos_tpu.models.upscaler import upscale
+
+    base = rng.integers(0, 256, size=(32, 24, 4), dtype=np.uint8)
+    for c in (1, 2, 4):
+        out = np.asarray(upscale(base[..., :c], scale=(2, 1), a=2))
+        assert out.shape == (64, 48, c)
+        # channels resample independently: channel c of the RGBA result
+        # equals the 1-channel result of that channel alone
+        solo = np.asarray(upscale(base[..., c - 1 : c], scale=(2, 1), a=2))
+        np.testing.assert_array_equal(out[..., -1:], solo)
+
+    gray = np.asarray(upscale(base[..., 0], scale=(2, 1), a=2))
+    assert gray.shape == (64, 48)
+    np.testing.assert_array_equal(
+        gray, np.asarray(upscale(base[..., :1], scale=(2, 1), a=2))[..., 0]
+    )
