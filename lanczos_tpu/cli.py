@@ -68,6 +68,26 @@ def main(argv=None) -> int:
     from lanczos_tpu.models.upscaler import Upscaler
     from lanczos_tpu.utils.metrics import psnr, rms_error
 
+    if args.input.lower().endswith(".y4m"):
+        # video mode: plane-native YCbCr upscale, file -> file
+        from lanczos_tpu.models.video import upscale_y4m
+
+        if args.scale is None and args.out_size is None:
+            args.scale = (2, 1)
+        out_path = args.output or (
+            os.path.splitext(args.input)[0] + "_upscaled.y4m"
+        )
+        t0 = time.perf_counter()
+        hdr = upscale_y4m(
+            args.input, out_path, scale=args.scale, out_shape=args.out_size,
+            profile=args.profile, a=args.a, backend=args.backend,
+            filter=args.filter, align=args.align,
+        )
+        dt = time.perf_counter() - t0
+        print(f"wrote {out_path}  ({hdr.width}x{hdr.height} C{hdr.colorspace}, "
+              f"{args.profile}, {dt:.2f} s incl. compile)")
+        return 0
+
     img = read_image(args.input)
     if img.shape[-1] == 4:
         img = img[..., :3]  # drop alpha for parity with the RGB reference

@@ -6,7 +6,9 @@ decode on the host so the test harness and CLI consume/produce the same
 byte formats the reference testbench did (``full_TB.h:107,170-177``).
 
 :func:`read_image` sniffs the format from magic bytes (PNG or JPEG) —
-the equivalent of ``stbi_load``'s format dispatch.
+the equivalent of ``stbi_load``'s format dispatch.  Video frames come in
+through the Y4M container (:mod:`lanczos_tpu.io.y4m`) — planar YCbCr,
+the exact layout the fused kernels consume.
 """
 
 import numpy as np
@@ -19,6 +21,14 @@ from lanczos_tpu.io.png import (  # noqa: F401
     write_png,
 )
 from lanczos_tpu.io.jpeg import JPEGError, decode as decode_jpeg  # noqa: F401
+from lanczos_tpu.io.y4m import (  # noqa: F401
+    Y4MError,
+    Y4MHeader,
+    Y4MReader,
+    Y4MWriter,
+    read_y4m,
+    write_y4m,
+)
 
 
 def decode_image(data: bytes) -> np.ndarray:

@@ -1,0 +1,135 @@
+"""Y4M container round-trip + the plane-native video upscale pipeline.
+
+The container is an extension beyond the reference's still-image stb
+ingest (``full_TB.h:107``) that makes the BASELINE.md streaming-video
+configs drivable from a file; frames are planar YCbCr, the layout
+``Upscaler.planar`` consumes directly.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from lanczos_tpu.io.y4m import (
+    Y4MError,
+    parse_header,
+    read_y4m,
+    write_y4m,
+)
+
+
+def _frames(rng, n, h, w, cs="420jpeg"):
+    out = []
+    for _ in range(n):
+        y = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if cs == "mono":
+            out.append((y,))
+            continue
+        dh, dw = {"420jpeg": (2, 2), "422": (1, 2), "444": (1, 1)}[cs]
+        cb = rng.integers(0, 256, size=(h // dh, w // dw), dtype=np.uint8)
+        cr = rng.integers(0, 256, size=(h // dh, w // dw), dtype=np.uint8)
+        out.append((y, cb, cr))
+    return out
+
+
+@pytest.mark.parametrize("cs", ["420jpeg", "422", "444", "mono"])
+def test_roundtrip(rng, cs):
+    frames = _frames(rng, 3, 32, 48, cs)
+    buf = io.BytesIO()
+    hdr = write_y4m(buf, frames, fps=(30, 1), colorspace=cs)
+    assert hdr.colorspace == cs and hdr.fps == (30, 1)
+    hdr2, got = read_y4m(buf.getvalue())
+    assert hdr2 == hdr
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        for pa, pb in zip(a, b):
+            np.testing.assert_array_equal(pa, pb)
+
+
+def test_colorspace_inferred(rng):
+    frames = _frames(rng, 1, 16, 16, "422")
+    buf = io.BytesIO()
+    assert write_y4m(buf, frames).colorspace == "422"
+    frames = _frames(rng, 1, 16, 16, "mono")
+    assert write_y4m(io.BytesIO(), frames).colorspace == "mono"
+
+
+def test_header_parsing():
+    hdr = parse_header(b"YUV4MPEG2 W640 H480 F30000:1001 Ip A1:1 C420mpeg2 Xfoo")
+    assert (hdr.width, hdr.height) == (640, 480)
+    assert hdr.fps == (30000, 1001)
+    assert hdr.colorspace == "420mpeg2"
+    assert hdr.extensions == ("foo",)
+    with pytest.raises(Y4MError):
+        parse_header(b"NOTY4M W2 H2")
+    with pytest.raises(Y4MError):
+        parse_header(b"YUV4MPEG2 W640 H480 It")  # interlaced
+    with pytest.raises(Y4MError):
+        parse_header(b"YUV4MPEG2 W640 H480 C420p10")  # >8 bit
+    with pytest.raises(Y4MError):
+        parse_header(b"YUV4MPEG2 W641 H480 C420jpeg")  # odd width for 420
+
+
+def test_frame_params_skipped(rng):
+    frames = _frames(rng, 1, 8, 8, "mono")
+    buf = io.BytesIO()
+    write_y4m(buf, frames, colorspace="mono")
+    raw = buf.getvalue().replace(b"FRAME\n", b"FRAME Xsome-param\n")
+    _, got = read_y4m(raw)
+    np.testing.assert_array_equal(got[0][0], frames[0][0])
+
+
+def test_truncated_frame_raises(rng):
+    buf = io.BytesIO()
+    write_y4m(buf, _frames(rng, 2, 8, 8, "mono"), colorspace="mono")
+    raw = buf.getvalue()[:-5]
+    with pytest.raises(Y4MError, match="truncated"):
+        read_y4m(raw)
+
+
+@pytest.mark.parametrize("cs", ["420jpeg", "mono"])
+def test_upscale_y4m_pipeline(rng, cs, tmp_path):
+    """File → file 2× upscale matches per-plane Upscaler results and keeps
+    subsampling, fps, and frame count (incl. a partial tail batch)."""
+    from lanczos_tpu.models.upscaler import upscale
+    from lanczos_tpu.models.video import upscale_y4m
+
+    frames = _frames(rng, 5, 24, 32, cs)  # 5 frames, batch 2 -> tail of 1
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.y4m"
+    write_y4m(str(src), frames, fps=(24, 1), colorspace=cs)
+
+    hdr = upscale_y4m(str(src), str(dst), scale=(2, 1), a=2, batch=2)
+    assert (hdr.width, hdr.height) == (64, 48)
+
+    hdr2, got = read_y4m(str(dst))
+    assert hdr2.colorspace == cs and hdr2.fps == (24, 1)
+    assert len(got) == 5
+    for src_f, out_f in zip(frames, got):
+        for p_in, p_out in zip(src_f, out_f):
+            want = np.asarray(upscale(p_in, scale=(2, 1), a=2))
+            np.testing.assert_array_equal(p_out, want)
+
+
+def test_upscale_y4m_subsampling_guard(rng, tmp_path):
+    """A scale that breaks 4:2:0 chroma alignment raises, not corrupts."""
+    from lanczos_tpu.models.video import upscale_y4m
+
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), _frames(rng, 1, 12, 12, "420jpeg"))
+    with pytest.raises(ValueError):
+        # luma 12x12 divides by 3/4 (-> 9x9) but the 6x6 chroma does not
+        # (4.5): the chroma config must raise rather than silently drift
+        upscale_y4m(str(src), str(tmp_path / "o.y4m"), scale=(3, 4), a=2)
+
+
+def test_cli_y4m(rng, tmp_path, capsys):
+    from lanczos_tpu.cli import main
+
+    src = tmp_path / "clip.y4m"
+    write_y4m(str(src), _frames(rng, 2, 16, 16, "420jpeg"))
+    assert main([str(src), "--scale", "2/1", "--a", "2"]) == 0
+    out = tmp_path / "clip_upscaled.y4m"
+    hdr, got = read_y4m(str(out))
+    assert (hdr.width, hdr.height) == (32, 32) and len(got) == 2
