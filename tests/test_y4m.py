@@ -133,3 +133,17 @@ def test_cli_y4m(rng, tmp_path, capsys):
     out = tmp_path / "clip_upscaled.y4m"
     hdr, got = read_y4m(str(out))
     assert (hdr.width, hdr.height) == (32, 32) and len(got) == 2
+
+
+def test_upscale_y4m_out_shape(rng, tmp_path):
+    """out_shape (instead of scale) maps chroma proportionally."""
+    from lanczos_tpu.models.video import upscale_y4m
+
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), _frames(rng, 2, 24, 32, "420jpeg"))
+    hdr = upscale_y4m(
+        str(src), str(tmp_path / "o.y4m"), out_shape=(72, 96), a=2, batch=2
+    )
+    assert (hdr.width, hdr.height) == (96, 72)
+    h2, got = read_y4m(str(tmp_path / "o.y4m"))
+    assert got[0][1].shape == (36, 48)  # chroma kept at half resolution
