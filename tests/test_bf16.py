@@ -69,3 +69,25 @@ def test_bf16_rational_scale(rng):
     out = np.asarray(up(img))
     ref = _fp32_ref(img, shape=(36, 44), scale=(3, 2), a=2)
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 6
+
+
+def test_bf16_streaming_and_sharded(rng):
+    """The BF16 tier works through every execution mode, not just the
+    whole-frame path: chunked streaming and the row-sharded mesh both
+    accept a BF16 config and land within bf16 tolerance of fp32."""
+    import jax
+
+    from lanczos_tpu.models.streaming import StreamingUpscaler
+    from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+    img = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    cfg = _cfg(shape=(64, 48))
+    ref = _fp32_ref(img, shape=(64, 48))
+
+    out_st = np.asarray(StreamingUpscaler(cfg, chunk_rows=32)(img))
+    assert np.abs(out_st.astype(int) - ref.astype(int)).max() <= 6
+
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    out_sh = np.asarray(ShardedUpscaler(cfg, mesh)(img[None].repeat(2, 0)))
+    assert out_sh.shape == (2, 128, 96, 3)
+    assert np.abs(out_sh[0].astype(int) - ref.astype(int)).max() <= 6
