@@ -6,6 +6,7 @@ import sys
 
 from lanczos_tpu import upscale_y4m
 
-scale = tuple(int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "2/1").split("/"))
+n, _, d = (sys.argv[3] if len(sys.argv) > 3 else "2/1").partition("/")
+scale = (int(n), int(d) if d else 1)  # accept bare "2" like the CLI
 hdr = upscale_y4m(sys.argv[1], sys.argv[2], scale=scale, a=3, batch=8)
 print(f"wrote {sys.argv[2]}: {hdr.width}x{hdr.height} C{hdr.colorspace}")

@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                    help="time N device iterations and print Mpix/s")
     args = p.parse_args(argv)
 
+    if args.backend == "c_exact" and args.profile != "c_oracle":
+        p.error("--backend c_exact implements the c_oracle semantics; "
+                "use --profile c_oracle with it")
+
     from lanczos_tpu.core.config import Profile, ResampleConfig
     from lanczos_tpu.io import read_image, write_png
     from lanczos_tpu.models.upscaler import Upscaler
@@ -72,6 +76,9 @@ def main(argv=None) -> int:
         # video mode: plane-native YCbCr upscale, file -> file
         from lanczos_tpu.models.video import upscale_y4m
 
+        if args.bench or args.expected:
+            p.error("--bench/--expected apply to still images, not .y4m "
+                    "video (use bench_suite.py for video timing)")
         if args.scale is None and args.out_size is None:
             args.scale = (2, 1)
         out_path = args.output or (

@@ -27,6 +27,24 @@ class Y4MError(ValueError):
 
 _MAGIC = b"YUV4MPEG2"
 
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    """Read exactly n bytes, looping over short reads (raw streams /
+    sockets may legitimately return fewer than requested per call);
+    returns short only at true EOF."""
+    buf = f.read(n)
+    if len(buf) in (0, n):
+        return buf
+    chunks = [buf]
+    got = len(buf)
+    while got < n:
+        more = f.read(n - got)
+        if not more:
+            break
+        chunks.append(more)
+        got += len(more)
+    return b"".join(chunks)
+
 # colorspace tag -> (chroma subsampling h, w) divisors; None = no chroma
 _COLORSPACES = {
     "420jpeg": (2, 2),
@@ -161,7 +179,7 @@ class Y4MReader:
         h, w = hdr.height, hdr.width
         cshape = hdr.chroma_shape
         while True:
-            line = self._f.read(5)
+            line = _read_exact(self._f, 5)
             if not line:
                 return
             if line != b"FRAME":
@@ -169,7 +187,7 @@ class Y4MReader:
             ch = self._f.read(1)
             if ch != b"\n":  # frame-level parameters (rare) — skip the line
                 self._readline()
-            raw = self._f.read(hdr.frame_bytes)
+            raw = _read_exact(self._f, hdr.frame_bytes)
             if len(raw) != hdr.frame_bytes:
                 raise Y4MError("truncated y4m frame")
             y = np.frombuffer(raw, np.uint8, h * w).reshape(h, w)
@@ -249,9 +267,15 @@ def write_y4m(dst, frames, fps=(25, 1), colorspace: Optional[str] = None):
             colorspace = "mono"
         else:
             ch_, cw = f0[1].shape
-            colorspace = {
-                (2, 2): "420jpeg", (1, 2): "422", (1, 1): "444",
-            }[(h // ch_, w // cw)]
+            ratio = (h // ch_ if ch_ and h % ch_ == 0 else 0,
+                     w // cw if cw and w % cw == 0 else 0)
+            tags = {(2, 2): "420jpeg", (1, 2): "422", (1, 1): "444"}
+            if ratio not in tags:
+                raise Y4MError(
+                    f"chroma {cw}x{ch_} vs luma {w}x{h}: subsampling is not "
+                    "4:2:0/4:2:2/4:4:4 — pass colorspace= explicitly"
+                )
+            colorspace = tags[ratio]
     hdr = Y4MHeader(w, h, fps=tuple(fps), colorspace=colorspace)
     with Y4MWriter(dst, hdr) as wr:
         for fr in frames:

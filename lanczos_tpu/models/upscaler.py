@@ -196,6 +196,11 @@ class Upscaler:
         from lanczos_tpu.ref.oracle import c_oracle_upscale, clean_resample_2d
 
         img = np.asarray(img)
+        if img.ndim > 3:  # (..., H, W, C): oracle is single-image — loop
+            lead = img.shape[:-3]
+            flat = img.reshape((-1,) + img.shape[-3:])
+            outs = np.stack([self._ref_forward(f) for f in flat])
+            return outs.reshape(lead + outs.shape[1:])
         oh, ow = self.cfg.out_shape
         if self.cfg.precision == Precision.FIXED:
             from lanczos_tpu.ref.hls_sim import hls_stream_upscale

@@ -24,6 +24,33 @@ from lanczos_tpu.core.config import ResampleConfig
 from lanczos_tpu.models.upscaler import Upscaler
 
 
+def _pad_to(stack: np.ndarray, b: int) -> np.ndarray:
+    """Tail-pad a (B', ...) batch to B rows by repeating the last frame.
+
+    Keeps every launch at one jit shape (no retrace for the tail batch);
+    callers discard the padded rows on drain."""
+    pad = b - stack.shape[0]
+    if pad:
+        stack = np.concatenate([stack, np.repeat(stack[-1:], pad, 0)])
+    return stack
+
+
+def _pipelined(batches, launch, drain, depth: int) -> None:
+    """Run launch() over batches keeping ``depth`` results in flight.
+
+    JAX's async dispatch overlaps batch k+1's host→device copy and launch
+    with batch k's compute; drain() (which blocks on device→host readback)
+    only runs once the window is full — the frame-level analog of the
+    reference's DATAFLOW stage overlap (``lanczos.cpp:72-82``)."""
+    inflight: collections.deque = collections.deque()
+    for b in batches:
+        inflight.append(launch(b))
+        if len(inflight) >= depth:
+            drain(inflight.popleft())
+    while inflight:
+        drain(inflight.popleft())
+
+
 class VideoUpscaler:
     """Stream frames through a jitted upscale with a bounded in-flight queue.
 
@@ -65,19 +92,16 @@ class VideoUpscaler:
         oh, ow = self.cfg.out_shape
         out = np.empty((t, oh, ow, video.shape[-1]), np.uint8)
         b = self.batch
-        inflight: collections.deque = collections.deque()
-        for k0 in range(0, t, b):
-            chunk = video[k0 : k0 + b]
-            pad = b - chunk.shape[0]
-            if pad:  # keep one jit shape; tail padding discarded
-                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-            inflight.append((k0, min(b, t - k0), self.model(chunk)))
-            if len(inflight) >= self.depth:
-                i0, n, dev = inflight.popleft()
-                out[i0 : i0 + n] = np.asarray(dev)[:n]
-        while inflight:
-            i0, n, dev = inflight.popleft()
+
+        def launch(k0):
+            chunk = _pad_to(video[k0 : k0 + b], b)
+            return k0, min(b, t - k0), self.model(chunk)
+
+        def drain(item):
+            i0, n, dev = item
             out[i0 : i0 + n] = np.asarray(dev)[:n]
+
+        _pipelined(range(0, t, b), launch, drain, self.depth)
         return out
 
 
@@ -146,42 +170,45 @@ def upscale_y4m(
         )
 
         def plane_batches():
-            """Yield (n_valid, [plane-stack ...]) per batch of frames."""
+            """Yield lists of ``batch`` frames (plane tuples)."""
             buf = []
             for frame in reader:
                 buf.append(frame)
                 if len(buf) == batch:
-                    yield len(buf), buf
+                    yield buf
                     buf = []
             if buf:
-                yield len(buf), buf
-
-        plane_model = [0] if len(models) == 1 else [0, 1, 1]  # Cb/Cr share
+                yield buf
 
         def launch(frames):
             n = len(frames)
-            outs = []
-            for p, m in enumerate(plane_model):
-                stack = np.stack([f[p] for f in frames])[:, None]  # (B,1,h,w)
-                if n < batch:  # keep one jit shape; tail padding discarded
-                    pad = np.repeat(stack[-1:], batch - n, 0)
-                    stack = np.concatenate([stack, pad])
-                outs.append(models[m].planar(jax.device_put(stack)))
+            # luma (B,1,h,w); Cb+Cr share one (B,2,ch,cw) dispatch — the
+            # planes have the same model/shape, and sub-ms kernels are
+            # dispatch-bound, so merging saves one launch per batch
+            luma = _pad_to(np.stack([f[0] for f in frames])[:, None], batch)
+            outs = [models[0].planar(jax.device_put(luma))]
+            if len(models) > 1:
+                chroma = _pad_to(np.stack([f[1:] for f in frames]), batch)
+                outs.append(models[1].planar(jax.device_put(chroma)))
             return n, outs
 
         with Y4MWriter(dst, out_hdr) as writer:
-            inflight: collections.deque = collections.deque()
 
-            def drain_one():
-                n, outs = inflight.popleft()
+            def drain(item):
+                n, outs = item
                 host = [np.asarray(o) for o in outs]
+                # the ref backend returns unquantized floats; match the
+                # device paths' trunc-clip byte cast before writing
+                host = [
+                    h if h.dtype == np.uint8
+                    else np.trunc(np.clip(h, 0, 255)).astype(np.uint8)
+                    for h in host
+                ]
                 for k in range(n):
-                    writer.write(tuple(h[k, 0] for h in host))
+                    planes = (host[0][k, 0],)
+                    if len(host) > 1:
+                        planes += (host[1][k, 0], host[1][k, 1])
+                    writer.write(planes)
 
-            for _, frames in plane_batches():
-                inflight.append(launch(frames))
-                if len(inflight) >= depth:
-                    drain_one()
-            while inflight:
-                drain_one()
+            _pipelined(plane_batches(), launch, drain, depth)
     return out_hdr

@@ -147,3 +147,86 @@ def test_upscale_y4m_out_shape(rng, tmp_path):
     assert (hdr.width, hdr.height) == (96, 72)
     h2, got = read_y4m(str(tmp_path / "o.y4m"))
     assert got[0][1].shape == (36, 48)  # chroma kept at half resolution
+
+
+def test_upscale_y4m_ref_backend(rng, tmp_path):
+    """The host-oracle backend works through the planar video pipeline
+    (regression: its moveaxis fallback used to feed the single-image
+    oracle a batched stack) and agrees with the device path within the
+    usual ±1 LSB after the trunc-clip byte cast."""
+    from lanczos_tpu.io.y4m import Y4MReader
+    from lanczos_tpu.models.video import upscale_y4m
+
+    src = tmp_path / "in.y4m"
+    write_y4m(str(src), _frames(rng, 3, 16, 16, "420jpeg"))
+    upscale_y4m(str(src), str(tmp_path / "ref.y4m"), scale=(2, 1), a=2,
+                backend="ref", batch=2)
+    upscale_y4m(str(src), str(tmp_path / "dev.y4m"), scale=(2, 1), a=2,
+                backend="block", batch=2)
+    _, ref = read_y4m(str(tmp_path / "ref.y4m"))
+    _, dev = read_y4m(str(tmp_path / "dev.y4m"))
+    assert len(ref) == len(dev) == 3
+    for rf, df in zip(ref, dev):
+        for rp, dp in zip(rf, df):
+            assert np.abs(rp.astype(int) - dp.astype(int)).max() <= 1
+
+
+def test_reader_short_reads(rng):
+    """Raw/unbuffered streams may return fewer bytes than asked per read();
+    the reader must loop, not misreport 'truncated frame'."""
+    from lanczos_tpu.io.y4m import Y4MReader
+
+    frames = _frames(rng, 4, 16, 16, "420jpeg")
+    buf = io.BytesIO()
+    write_y4m(buf, frames)
+    data = buf.getvalue()
+
+    class Dribble(io.RawIOBase):
+        def __init__(self, data):
+            self.data, self.pos = data, 0
+
+        def readable(self):
+            return True
+
+        def read(self, n=-1):
+            if self.pos >= len(self.data):
+                return b""
+            n = 3 if n is None or n < 0 else min(n, 3)
+            out = self.data[self.pos : self.pos + n]
+            self.pos += len(out)
+            return out
+
+    got = list(Y4MReader(Dribble(data)))
+    assert len(got) == 4
+    for g, f in zip(got, frames):
+        for gp, fp in zip(g, f):
+            np.testing.assert_array_equal(gp, fp)
+
+
+def test_write_y4m_unknown_subsampling(rng):
+    """4:1:1 (or mismatched) chroma raises Y4MError, not a bare KeyError."""
+    y = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(16, 4), dtype=np.uint8)
+    with pytest.raises(Y4MError, match="subsampling"):
+        write_y4m(io.BytesIO(), [(y, c, c)])
+
+
+def test_cli_y4m_rejects_image_flags(rng, tmp_path):
+    from lanczos_tpu.cli import main
+
+    src = tmp_path / "clip.y4m"
+    write_y4m(str(src), _frames(rng, 1, 16, 16, "420jpeg"))
+    with pytest.raises(SystemExit):
+        main([str(src), "--bench", "5"])
+    with pytest.raises(SystemExit):
+        main([str(src), "--expected"])
+
+
+def test_cli_c_exact_requires_c_oracle_profile(rng, tmp_path):
+    from lanczos_tpu.cli import main
+    from lanczos_tpu.io import write_png
+
+    src = tmp_path / "im.png"
+    write_png(str(src), rng.integers(0, 256, (8, 8, 3), np.uint8))
+    with pytest.raises(SystemExit):
+        main([str(src), "--backend", "c_exact", "--profile", "precise"])
