@@ -5,10 +5,13 @@ The TPU-native counterpart of the reference's vendored stb codec
 decode on the host so the test harness and CLI consume/produce the same
 byte formats the reference testbench did (``full_TB.h:107,170-177``).
 
-:func:`read_image` sniffs the format from magic bytes (PNG or JPEG) —
-the equivalent of ``stbi_load``'s format dispatch.  Video frames come in
-through the Y4M container (:mod:`lanczos_tpu.io.y4m`) — planar YCbCr,
-the exact layout the fused kernels consume.
+:func:`read_image` sniffs the format from magic bytes (PNG/JPEG/BMP/GIF/
+PNM, TGA by extension) — the equivalent of ``stbi_load``'s format
+dispatch.  :func:`write_image` is the ``stbi_write_*`` counterpart
+(PNG/JPEG/BMP/TGA/PNM by extension, covering stb_image_write.h's raster
+formats).  Video frames come in through the Y4M container
+(:mod:`lanczos_tpu.io.y4m`) — planar YCbCr, the exact layout the fused
+kernels consume.
 """
 
 import numpy as np
@@ -65,3 +68,34 @@ def read_image(path) -> np.ndarray:
 
         return formats.decode_tga(data)
     return decode_image(data)
+
+
+def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
+    """Encode to image bytes by format name (stbi_write_* analog).
+
+    Formats: ``png`` (kw: ``compress_level``), ``jpeg``/``jpg`` (kw:
+    ``quality``, ``subsample``), ``bmp``, ``tga``, ``pnm``/``ppm``/``pgm``.
+    """
+    from lanczos_tpu.io import formats, jpeg
+
+    fmt = format.lower().lstrip(".")
+    if fmt == "png":
+        return encode(img, **kw)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg.encode(img, **kw)
+    if fmt == "bmp":
+        return formats.encode_bmp(img)
+    if fmt in ("tga", "icb", "vda", "vst"):
+        return formats.encode_tga(img)
+    if fmt in ("pnm", "ppm", "pgm"):
+        return formats.encode_pnm(img)
+    raise ValueError(f"unsupported image write format {format!r}")
+
+
+def write_image(path, img: np.ndarray, **kw) -> None:
+    """stbi_write_* equivalent: save (H, W[, C]) uint8, format from the
+    file extension (png/jpg/jpeg/bmp/tga/pnm/ppm/pgm)."""
+    ext = str(path).rsplit(".", 1)[-1] if "." in str(path) else ""
+    data = encode_image(img, ext, **kw)
+    with open(path, "wb") as f:
+        f.write(data)

@@ -339,3 +339,79 @@ def _decode_gif(data: bytes) -> np.ndarray:
         else:
             raise FormatError(f"bad GIF block 0x{b0:02X}")
     raise FormatError("GIF contains no image")
+
+
+# ------------------------------------------------------------- encoders
+#
+# The write half of the stb surface: the reference vendors
+# stb_image_write.h (PNG/BMP/TGA/JPG/HDR) even though its testbench only
+# calls stbi_write_png (full_TB.h:172,177).  PNG/JPEG encode live in
+# their codec modules; the simple containers live here.
+
+
+def _norm_img(img: np.ndarray) -> np.ndarray:
+    """Normalize to (H, W, C) uint8, C in {1, 3, 4}."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise FormatError(f"expected uint8 pixels, got {img.dtype}")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        raise FormatError(f"expected (H, W, C<=4) image, got {img.shape}")
+    return img
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Windows BMP, bottom-up: BI_RGB 24-bit (gray/RGB), or 32-bit
+    BITMAPV4 + BI_BITFIELDS alpha masks (RGBA — plain 32-bit BI_RGB
+    alpha is ignored by most readers)."""
+    img = _norm_img(img)
+    h, w, c = img.shape
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+        c = 3
+    nb = 4 if c == 4 else 3
+    px = img[::-1, :, [2, 1, 0, 3][:nb]]  # RGB(A) -> BGR(A), bottom-up
+    stride = (w * nb + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * nb] = px.reshape(h, w * nb)
+    data = rows.tobytes()
+    if nb == 3:
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                           2835, 2835, 0, 0)
+    else:  # BITMAPV4HEADER with explicit channel masks
+        info = struct.pack(
+            "<IiiHHIIiiII" "IIII" "I36xIII",
+            108, w, h, 1, 32, 3, len(data), 2835, 2835, 0, 0,
+            0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000,
+            0x73524742, 0, 0, 0,  # LCS 'sRGB'; endpoints/gamma unused
+        )
+    off = 14 + len(info)
+    return (struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+            + info + data)
+
+
+def encode_tga(img: np.ndarray) -> bytes:
+    """TGA: uncompressed type 3 (gray) or type 2 (BGR/BGRA), top-left origin."""
+    img = _norm_img(img)
+    h, w, c = img.shape
+    if c == 1:
+        imgtype, bpp, px = 3, 8, img[:, :, 0]
+    else:
+        imgtype, bpp = 2, c * 8
+        px = img[:, :, [2, 1, 0, 3][:c]]  # RGB(A) -> BGR(A)
+    # descriptor bit 5 = top-left origin; bits 0-3 = alpha depth
+    desc = 0x20 | (8 if c == 4 else 0)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, imgtype, 0, 0, 0, 0, 0, w, h,
+                      bpp, desc)
+    return hdr + np.ascontiguousarray(px).tobytes()
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """Binary PNM: P5 (gray) or P6 (RGB); alpha is not representable."""
+    img = _norm_img(img)
+    h, w, c = img.shape
+    if c == 4:
+        raise FormatError("PNM cannot carry an alpha channel")
+    magic = b"P5" if c == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()

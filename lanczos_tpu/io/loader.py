@@ -71,8 +71,10 @@ class FrameLoader:
 
 
 class FrameWriter:
-    """Asynchronous PNG writer: encode+write on background threads so the
-    device loop never blocks on the host encoder."""
+    """Asynchronous image writer: encode+write on background threads so
+    the device loop never blocks on the host encoder.  Format follows the
+    file extension (PNG plus the :func:`lanczos_tpu.io.write_image`
+    formats); ``compress_level`` applies to PNG."""
 
     def __init__(
         self,
@@ -95,7 +97,11 @@ class FrameWriter:
 
         def task():
             try:
-                return write_png(path, img, self.level)
+                if str(path).lower().endswith(".png"):
+                    return write_png(path, img, self.level)
+                from lanczos_tpu.io import write_image
+
+                return write_image(path, img)
             finally:
                 self._slots.release()
 
