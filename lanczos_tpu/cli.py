@@ -42,8 +42,9 @@ def main(argv=None) -> int:
         prog="lanczos_tpu",
         description="TPU-native Lanczos image resampler",
     )
-    p.add_argument("input", help="input PNG path")
-    p.add_argument("output", nargs="?", help="output PNG path (default: derived)")
+    p.add_argument("input", help="input image path (any read_image format)")
+    p.add_argument("output", nargs="?", help="output path; format from extension "
+                   "(png/jpg/bmp/tga/pnm; default: derived .png)")
     p.add_argument("--scale", type=_parse_scale, default=None,
                    help="rational scale N/D (e.g. 2/1, 3/2)")
     p.add_argument("--out-size", type=_parse_size, default=None, metavar="WxH")
@@ -68,7 +69,7 @@ def main(argv=None) -> int:
                 "use --profile c_oracle with it")
 
     from lanczos_tpu.core.config import Profile, ResampleConfig
-    from lanczos_tpu.io import read_image, write_png
+    from lanczos_tpu.io import read_image, write_image
     from lanczos_tpu.models.upscaler import Upscaler
     from lanczos_tpu.utils.metrics import psnr, rms_error
 
@@ -125,7 +126,7 @@ def main(argv=None) -> int:
     out_path = args.output or os.path.join(
         os.path.dirname(args.input) or ".", tag + "observed.png"
     )
-    write_png(out_path, out)
+    write_image(out_path, out)
     print(f"wrote {out_path}  ({w}x{h} -> {ow}x{oh}, {args.profile}, "
           f"backend={model.backend}, first-call {dt*1e3:.1f} ms)")
 
@@ -137,7 +138,7 @@ def main(argv=None) -> int:
             ex_path = os.path.join(
                 os.path.dirname(out_path) or ".", tag + "expected.png"
             )
-            write_png(ex_path, expected)
+            write_image(ex_path, expected)
             print(f"wrote {ex_path}")
         if not args.no_psnr:
             print(f"RMS error vs oracle: {rms_error(out, expected):.4f}  "
