@@ -6,10 +6,9 @@ decode on the host so the test harness and CLI consume/produce the same
 byte formats the reference testbench did (``full_TB.h:107,170-177``).
 
 :func:`read_image` sniffs the format from magic bytes (PNG/JPEG/BMP/GIF/
-PNM, TGA by extension) — the equivalent of ``stbi_load``'s format
-dispatch.  :func:`write_image` is the ``stbi_write_*`` counterpart
-(PNG/JPEG/BMP/TGA/PNM by extension, covering stb_image_write.h's raster
-formats).  Video frames come in through the Y4M container
+PSD/HDR/PIC/PNM, TGA by extension) — the FULL ``stbi_load`` format set.
+:func:`write_image` is the ``stbi_write_*`` counterpart (PNG/JPEG/BMP/
+TGA/HDR/PNM by extension, covering stb_image_write.h's raster formats).  Video frames come in through the Y4M container
 (:mod:`lanczos_tpu.io.y4m`) — planar YCbCr, the exact layout the fused
 kernels consume.
 """
@@ -37,9 +36,12 @@ from lanczos_tpu.io.y4m import (  # noqa: F401
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes by magic sniffing → (H, W, C) uint8.
 
-    Formats: PNG (incl. Adam7), baseline JPEG, BMP, GIF, binary PNM.
-    (TGA has no magic — use :func:`read_image`, which falls back to it by
-    file extension, or call ``formats.decode_tga`` directly.)
+    Formats: PNG (incl. Adam7), baseline JPEG, BMP, GIF, PSD, PIC,
+    Radiance HDR (tone-mapped to uint8 with stb's gamma-2.2 defaults —
+    use :func:`lanczos_tpu.io.formats.decode_hdr` for linear float32),
+    and binary PNM.  (TGA has no magic — use :func:`read_image`, which
+    falls back to it by file extension, or call ``formats.decode_tga``
+    directly.)
     """
     from lanczos_tpu.io import formats
 
@@ -51,11 +53,17 @@ def decode_image(data: bytes) -> np.ndarray:
         return formats.decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return formats.decode_gif(data)
+    if data[:4] == b"8BPS":
+        return formats.decode_psd(data)
+    if data[:2] == b"#?":
+        return formats.hdr_to_ldr(formats.decode_hdr(data))
+    if data[:4] == b"\x53\x80\xf6\x34" and data[88:92] == b"PICT":
+        return formats.decode_pic(data)
     if data[:2] in (b"P5", b"P6"):
         return formats.decode_pnm(data)
     raise ValueError(
-        "unrecognized image format (expect PNG/JPEG/BMP/GIF/PNM; "
-        "TGA is dispatched by extension in read_image)"
+        "unrecognized image format (expect PNG/JPEG/BMP/GIF/PSD/HDR/PIC/"
+        "PNM; TGA is dispatched by extension in read_image)"
     )
 
 
@@ -74,7 +82,9 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
     """Encode to image bytes by format name (stbi_write_* analog).
 
     Formats: ``png`` (kw: ``compress_level``), ``jpeg``/``jpg`` (kw:
-    ``quality``, ``subsample``), ``bmp``, ``tga``, ``pnm``/``ppm``/``pgm``.
+    ``quality``, ``subsample``), ``bmp``, ``tga``, ``hdr`` (takes float32
+    linear radiance, or uint8 lifted via stb's gamma-2.2 convention),
+    ``pnm``/``ppm``/``pgm`` — stb_image_write.h's full format set.
     """
     from lanczos_tpu.io import formats, jpeg
 
@@ -87,6 +97,8 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
         return formats.encode_bmp(img)
     if fmt in ("tga", "icb", "vda", "vst"):
         return formats.encode_tga(img)
+    if fmt == "hdr":
+        return formats.encode_hdr(img)
     if fmt in ("pnm", "ppm", "pgm"):
         return formats.encode_pnm(img)
     raise ValueError(f"unsupported image write format {format!r}")
@@ -94,7 +106,7 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
 
 def write_image(path, img: np.ndarray, **kw) -> None:
     """stbi_write_* equivalent: save (H, W[, C]) uint8, format from the
-    file extension (png/jpg/jpeg/bmp/tga/pnm/ppm/pgm)."""
+    file extension (png/jpg/jpeg/bmp/tga/hdr/pnm/ppm/pgm)."""
     ext = str(path).rsplit(".", 1)[-1] if "." in str(path) else ""
     data = encode_image(img, ext, **kw)
     with open(path, "wb") as f:

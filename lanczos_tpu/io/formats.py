@@ -1,9 +1,10 @@
-"""BMP / TGA / PNM / GIF decoders (pure NumPy, from the format specs).
+"""BMP / TGA / PNM / GIF / PSD / HDR / PIC codecs (pure NumPy, from the
+format specs).
 
-Together with the PNG and JPEG modules this covers the practically-used
-slice of the reference's stb ingest surface (``stb_image.h`` decodes
-JPEG/PNG/BMP/TGA/GIF/PSD/PIC/PNM; PSD and PIC are vanishingly rare and
-raise a clear error via :func:`lanczos_tpu.io.decode_image`).
+Together with the PNG and JPEG modules this covers the reference's FULL
+stb ingest surface (``stb_image.h`` decodes JPEG/PNG/BMP/TGA/GIF/PSD/
+HDR/PIC/PNM) plus the write side stb_image_write.h lacks for some of
+them.
 
 Scope:
 - BMP: uncompressed BI_RGB 8 (paletted) / 24 / 32-bit, bottom-up or
@@ -13,6 +14,10 @@ Scope:
 - PNM: binary P5 (gray) and P6 (RGB), maxval ≤ 65535.
 - GIF: 87a/89a first frame, LZW decode, interlace, global/local palettes,
   transparency → alpha channel.
+- PSD: version-1 RGB composites, 8/16-bit, raw or PackBits RLE.
+- HDR: Radiance RGBE decode (flat / old RLE / component RLE) + encode,
+  with stb's gamma-2.2 HDR↔LDR conversions.
+- PIC: Softimage, uncompressed / pure-RLE / mixed-RLE packets.
 """
 
 from __future__ import annotations
@@ -415,3 +420,349 @@ def encode_pnm(img: np.ndarray) -> bytes:
         raise FormatError("PNM cannot carry an alpha channel")
     magic = b"P5" if c == 1 else b"P6"
     return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+# ---------------------------------------------------------------- PSD
+# Adobe Photoshop composite image (the slice stb_image.h decodes: 8/16-bit
+# RGB-mode composites, raw or PackBits-RLE; layers/extra channels ignored).
+
+
+def _packbits(src: memoryview, pos: int, out: np.ndarray) -> int:
+    """Decode PackBits RLE into ``out`` (fills exactly len(out) bytes);
+    returns the new source position."""
+    n, need = 0, len(out)
+    while n < need:
+        c = src[pos]
+        pos += 1
+        if c == 128:  # no-op
+            continue
+        if c < 128:  # literal run of c+1 bytes
+            cnt = c + 1
+            if n + cnt > need:
+                raise FormatError("PSD RLE overruns row")
+            out[n : n + cnt] = np.frombuffer(src[pos : pos + cnt], np.uint8)
+            pos += cnt
+            n += cnt
+        else:  # repeat next byte 257-c times
+            cnt = 257 - c
+            if n + cnt > need:
+                raise FormatError("PSD RLE overruns row")
+            out[n : n + cnt] = src[pos]
+            pos += 1
+            n += cnt
+    return pos
+
+
+def _u16_to_u8(v: np.ndarray) -> np.ndarray:
+    # stb's 16→8 narrowing: round(v * 255 / 65535)
+    return ((v.astype(np.uint32) * 255 + 32895) >> 16).astype(np.uint8)
+
+
+def decode_psd(data: bytes) -> np.ndarray:
+    """Photoshop PSD composite → (H, W, 3|4) uint8.
+
+    Supports what the reference's vendored stb does (stb_image.h psd
+    path): version-1 files, RGB color mode (3), 8- or 16-bit channels,
+    compression 0 (raw planar) or 1 (PackBits RLE, 8-bit only); only the
+    flattened composite is read — layers and resources are skipped.
+    """
+    if data[:4] != b"8BPS":
+        raise FormatError("not a PSD (missing 8BPS signature)")
+    (version,) = struct.unpack(">H", data[4:6])
+    if version != 1:
+        raise FormatError(f"PSD version {version} unsupported")
+    channels, h, w, depth, color_mode = struct.unpack(">HIIHH", data[12:26])
+    if channels < 1 or channels > 16:
+        raise FormatError(f"PSD channel count {channels} out of range")
+    if depth not in (8, 16):
+        raise FormatError(f"PSD bit depth {depth} unsupported")
+    if color_mode != 3:
+        raise FormatError("PSD color mode must be RGB (3)")
+    pos = 26
+    for _ in range(3):  # color-mode data, image resources, layer/mask info
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4 + ln
+    (compression,) = struct.unpack(">H", data[pos : pos + 2])
+    pos += 2
+    out_c = 4 if channels >= 4 else 3
+    planes = np.zeros((out_c, h * w), np.uint8)
+    mv = memoryview(data)
+    if compression == 0:
+        nb = depth // 8
+        for ch in range(channels):
+            plane = data[pos : pos + h * w * nb]
+            pos += h * w * nb
+            if ch >= out_c:
+                continue
+            if depth == 8:
+                planes[ch] = np.frombuffer(plane, np.uint8)
+            else:
+                planes[ch] = _u16_to_u8(np.frombuffer(plane, ">u2"))
+    elif compression == 1:
+        if depth != 8:
+            raise FormatError("PSD RLE is only defined for 8-bit channels")
+        pos += 2 * h * channels  # per-row byte counts (redundant; skipped)
+        row = np.empty(w, np.uint8)
+        for ch in range(channels):
+            for y in range(h):
+                pos = _packbits(mv, pos, row)
+                if ch < out_c:
+                    planes[ch, y * w : (y + 1) * w] = row
+    else:
+        raise FormatError(f"PSD compression {compression} unsupported")
+    return np.ascontiguousarray(
+        planes.reshape(out_c, h, w).transpose(1, 2, 0)
+    )
+
+
+# ---------------------------------------------------------------- HDR
+# Radiance RGBE (.hdr / .pic-radiance): float RGB with a shared exponent
+# byte.  stb_image.h decodes it to float (stbi_loadf) or tone-maps to LDR
+# with gamma 2.2 / scale 1 (stbi_hdr_to_ldr_gamma/scale defaults);
+# stb_image_write.h emits the RLE scanline form.  Both directions here.
+
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    """(..., 4) uint8 RGBE → (..., 3) float32 (0 where the exponent is 0)."""
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.ldexp(np.float32(1.0), e - (128 + 8)).astype(np.float32)
+    rgb = rgbe[..., :3].astype(np.float32) * scale[..., None]
+    return np.where((e == 0)[..., None], np.float32(0.0), rgb)
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance HDR → (H, W, 3) float32 linear radiance.
+
+    Accepts the ``#?RADIANCE`` / ``#?RGBE`` header, the ``-Y h +X w``
+    orientation (the only one stb reads), and flat, old-style-RLE, and
+    new-style (per-component) RLE scanlines.
+    """
+    if data[:2] != b"#?":
+        raise FormatError("not a Radiance HDR (missing #? signature)")
+    pos = 0
+    fmt_ok = False
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line.startswith(b"FORMAT="):
+            if line != b"FORMAT=32-bit_rle_rgbe":
+                raise FormatError(f"HDR format {line!r} unsupported")
+            fmt_ok = True
+        if line == b"":
+            break
+    if not fmt_ok:
+        raise FormatError("HDR header lacks FORMAT=32-bit_rle_rgbe")
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise FormatError(f"HDR orientation {data[pos-1-len(res):nl]!r} unsupported")
+    h, w = int(res[1]), int(res[3])
+    out = np.zeros((h, w, 4), np.uint8)
+    mv = memoryview(data)
+    row = np.empty((w, 4), np.uint8)
+    for y in range(h):
+        if not (8 <= w <= 32767) or mv[pos] != 2 or mv[pos + 1] != 2 or (
+            (mv[pos + 2] << 8) | mv[pos + 3]
+        ) != w:
+            # flat RGBE records, with old-style (1,1,1,n) run markers
+            x = 0
+            shift = 0
+            prev = None
+            while x < w:
+                px = mv[pos : pos + 4]
+                pos += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                    if prev is None:
+                        raise FormatError("HDR old-style run before any pixel")
+                    cnt = px[3] << shift
+                    row[x : x + cnt] = prev
+                    x += cnt
+                    shift += 8
+                else:
+                    row[x] = np.frombuffer(px, np.uint8)
+                    prev = row[x].copy()
+                    x += 1
+                    shift = 0
+            out[y] = row
+        else:
+            pos += 4
+            for c in range(4):  # per-component RLE
+                x = 0
+                while x < w:
+                    cnt = mv[pos]
+                    pos += 1
+                    if cnt > 128:  # run
+                        out[y, x : x + cnt - 128, c] = mv[pos]
+                        pos += 1
+                        x += cnt - 128
+                    else:  # literal
+                        out[y, x : x + cnt, c] = np.frombuffer(
+                            mv[pos : pos + cnt], np.uint8
+                        )
+                        pos += cnt
+                        x += cnt
+    return _rgbe_to_float(out)
+
+
+def hdr_to_ldr(img: np.ndarray, gamma: float = 2.2, scale: float = 1.0
+               ) -> np.ndarray:
+    """stb's HDR→LDR tone map: ``(scale·c)^(1/gamma)·255 + 0.5``, clamped."""
+    v = np.power(np.maximum(img, 0.0) * scale, 1.0 / gamma) * 255.0 + 0.5
+    return np.clip(v, 0.0, 255.0).astype(np.uint8)
+
+
+def ldr_to_hdr(img: np.ndarray, gamma: float = 2.2, scale: float = 1.0
+               ) -> np.ndarray:
+    """stb's LDR→HDR lift: ``(c/255)^gamma · scale`` as float32."""
+    return (np.power(img.astype(np.float32) / 255.0, gamma) * scale).astype(
+        np.float32
+    )
+
+
+def _float_to_rgbe(img: np.ndarray) -> np.ndarray:
+    """(..., 3) float → (..., 4) uint8 RGBE (shared-exponent encode)."""
+    maxc = img.max(axis=-1)
+    m, e = np.frexp(maxc)
+    # value = mantissa · 2^e; stored byte = c · (m·256/maxc), exponent e+128
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = np.where(maxc > 1e-32, m * 256.0 / maxc, 0.0)
+    rgbe = np.empty(img.shape[:-1] + (4,), np.uint8)
+    rgbe[..., :3] = np.clip(img * norm[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 1e-32, e + 128, 0).astype(np.uint8)
+    return rgbe
+
+
+def encode_hdr(img: np.ndarray) -> bytes:
+    """(H, W, 3) float (or uint8, lifted via gamma 2.2) → Radiance HDR
+    bytes, new-style per-component RLE scanlines (stb_image_write.h's
+    layout)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    if img.dtype == np.uint8:
+        img = ldr_to_hdr(img)
+    img = img.astype(np.float32)
+    h, w, c = img.shape
+    if c != 3:
+        raise FormatError("HDR carries exactly 3 channels")
+    head = b"#?RADIANCE\n# lanczos_tpu\nFORMAT=32-bit_rle_rgbe\n\n" + (
+        f"-Y {h} +X {w}\n".encode()
+    )
+    rgbe = _float_to_rgbe(img)
+    parts = [head]
+    plain = not (8 <= w <= 32767)
+    for y in range(h):
+        if plain:
+            parts.append(rgbe[y].tobytes())
+            continue
+        parts.append(bytes((2, 2, w >> 8, w & 0xFF)))
+        for ch in range(4):
+            comp = rgbe[y, :, ch]
+            x = 0
+            while x < w:
+                # find the next run of >= 4 identical bytes
+                run = x
+                while run + 3 < w:
+                    if (comp[run] == comp[run + 1] == comp[run + 2]
+                            == comp[run + 3]):
+                        break
+                    run += 1
+                else:
+                    run = w
+                # literals up to the run start
+                lit = x
+                while lit < run:
+                    n = min(128, run - lit)
+                    parts.append(bytes((n,)))
+                    parts.append(comp[lit : lit + n].tobytes())
+                    lit += n
+                x = run
+                if x < w:
+                    n = 1
+                    while x + n < w and n < 127 and comp[x + n] == comp[x]:
+                        n += 1
+                    parts.append(bytes((128 + n, comp[x])))
+                    x += n
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------- PIC
+# Softimage PIC (the reference's stb decodes it; vanishingly rare today
+# but part of the ingest contract).  Big-endian header, per-row packet
+# list with uncompressed / pure-RLE / mixed-RLE channel encodings.
+
+
+def decode_pic(data: bytes) -> np.ndarray:
+    """Softimage PIC → (H, W, 3|4) uint8 (alpha when a packet carries it)."""
+    if data[:4] != b"\x53\x80\xf6\x34" or data[88:92] != b"PICT":
+        raise FormatError("not a Softimage PIC")
+    w, h = struct.unpack(">HH", data[92:96])
+    # ratio f32 + fields u16 + pad u16 precede the packet list
+    pos = 104
+    packets = []
+    while True:
+        if len(packets) > 10:
+            raise FormatError("PIC packet list too long")
+        chained, size, ptype, mask = data[pos : pos + 4]
+        pos += 4
+        packets.append((size, ptype, mask))
+        if not chained:
+            break
+    has_alpha = any(mask & 0x10 for _, _, mask in packets)
+    img = np.zeros((h, w, 4), np.uint8)
+    img[:, :, 3] = 255
+    mv = memoryview(data)
+
+    def mask_channels(mask):
+        return [i for i, bit in enumerate((0x80, 0x40, 0x20, 0x10))
+                if mask & bit]
+
+    for y in range(h):
+        for size, ptype, mask in packets:
+            chans = mask_channels(mask)
+            if ptype == 0:  # uncompressed
+                n = len(chans)
+                px = np.frombuffer(mv[pos : pos + w * n], np.uint8)
+                pos += w * n
+                img[y][:, chans] = px.reshape(w, n)
+            elif ptype == 1:  # pure RLE: (count, value...) records
+                x = 0
+                while x < w:
+                    cnt = min(mv[pos], w - x)
+                    pos += 1
+                    val = [mv[pos + i] for i in range(len(chans))]
+                    pos += len(chans)
+                    img[y, x : x + cnt][:, chans] = val
+                    x += cnt
+            elif ptype == 2:  # mixed RLE
+                x = 0
+                while x < w:
+                    cnt = mv[pos]
+                    pos += 1
+                    if cnt >= 128:
+                        if cnt == 128:
+                            cnt = (mv[pos] << 8) | mv[pos + 1]
+                            pos += 2
+                        else:
+                            cnt -= 127
+                        val = [mv[pos + i] for i in range(len(chans))]
+                        pos += len(chans)
+                        img[y, x : x + cnt][:, chans] = val
+                        x += cnt
+                    else:  # cnt+1 literal pixels
+                        cnt += 1
+                        px = np.frombuffer(
+                            mv[pos : pos + cnt * len(chans)], np.uint8
+                        )
+                        pos += cnt * len(chans)
+                        img[y, x : x + cnt][:, chans] = (
+                            px.reshape(cnt, len(chans))
+                        )
+                        x += cnt
+            else:
+                raise FormatError(f"PIC packet type {ptype} unsupported")
+    return np.ascontiguousarray(img if has_alpha else img[:, :, :3])
