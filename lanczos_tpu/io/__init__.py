@@ -8,7 +8,12 @@ byte formats the reference testbench did (``full_TB.h:107,170-177``).
 :func:`read_image` sniffs the format from magic bytes (PNG/JPEG/BMP/GIF/
 PSD/HDR/PIC/PNM, TGA by extension) — the FULL ``stbi_load`` format set.
 :func:`write_image` is the ``stbi_write_*`` counterpart (PNG/JPEG/BMP/
-TGA/HDR/PNM by extension, covering stb_image_write.h's raster formats).  Video frames come in through the Y4M container
+TGA/HDR/PNM by extension, covering stb_image_write.h's raster formats).
+The rest of the stb loader API surface maps 1:1: :func:`probe_image` =
+``stbi_info`` (+ ``is_16bit``/``is_hdr``), :func:`decode_image_16` /
+:func:`read_image_16` = ``stbi_load_16``, :func:`convert_channels` =
+``desired_channels``, and :func:`formats.decode_gif_frames` =
+``stbi_load_gif``.  Video frames come in through the Y4M container
 (:mod:`lanczos_tpu.io.y4m`) — planar YCbCr, the exact layout the fused
 kernels consume.
 """
@@ -67,6 +72,105 @@ def decode_image(data: bytes) -> np.ndarray:
     )
 
 
+def decode_image_16(data: bytes) -> np.ndarray:
+    """``stbi_load_16`` analog: decode to (H, W, C) uint16.
+
+    Native 16-bit sources (PNG depth 16, PSD 16-bit, PNM maxval > 255)
+    keep their full width; 8-bit sources are promoted ``v * 257`` exactly
+    as stb's ``stbi__convert_8_to_16`` does.
+    """
+    from lanczos_tpu.io import formats, png
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return png.decode16(data)
+    if data[:4] == b"8BPS":
+        return formats.decode_psd16(data)
+    if data[:2] in (b"P5", b"P6"):
+        return formats.decode_pnm16(data)
+    return decode_image(data).astype(np.uint16) * 257
+
+
+class ImageInfo(tuple):
+    """``(width, height, channels, bits, format)`` from a header-only
+    probe — the ``stbi_info`` + ``stbi_is_16_bit`` + ``stbi_is_hdr``
+    result in one struct."""
+
+    __slots__ = ()
+    width = property(lambda s: s[0])
+    height = property(lambda s: s[1])
+    channels = property(lambda s: s[2])
+    bits = property(lambda s: s[3])
+    format = property(lambda s: s[4])
+    is_16bit = property(lambda s: s[3] == 16)
+    is_hdr = property(lambda s: s[4] == "hdr")
+
+
+def probe_image(data: bytes, *, tga: bool = False) -> ImageInfo:
+    """``stbi_info_from_memory`` analog: parse only the header.
+
+    Returns :class:`ImageInfo` with the dimensions, the channel count the
+    decoder would produce, the native sample width (8/16; 32 for HDR
+    float), and the container name.  TGA has no magic, so it is only
+    attempted when ``tga=True`` (``read_image``'s extension dispatch sets
+    this) — stb does the same, trying TGA last and only by plausibility.
+    """
+    from lanczos_tpu.io import formats, jpeg, png
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return ImageInfo((*png.probe(data), "png"))
+    if data[:2] == b"\xff\xd8":
+        return ImageInfo((*jpeg.probe(data), "jpeg"))
+    try:
+        fmt, w, h, c, bits = formats.probe(data)
+        return ImageInfo((w, h, c, bits, fmt))
+    except formats.FormatError:
+        if tga:
+            return ImageInfo((*formats.probe_tga(data), "tga"))
+        raise
+
+
+def convert_channels(img: np.ndarray, channels: int) -> np.ndarray:
+    """stb's ``desired_channels`` conversion (``stbi__convert_format``).
+
+    Maps between C ∈ {1 grey, 2 grey+alpha, 3 RGB, 4 RGBA} with stb's
+    exact integer luma ``y = (r*77 + g*150 + b*29) >> 8`` (uint16 inputs
+    use the same weights at 16-bit width).  Returns the input unchanged
+    when it already has ``channels``.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == channels:
+        return img
+    if c not in (1, 2, 3, 4) or channels not in (1, 2, 3, 4):
+        raise ValueError(f"channel counts must be 1-4, got {c}->{channels}")
+    dt = img.dtype
+    full = np.array(65535 if dt == np.uint16 else 255, dt)
+    if c <= 2:
+        grey, alpha = img[..., :1], (img[..., 1:2] if c == 2 else None)
+        rgb = np.repeat(grey, 3, axis=2)
+    else:
+        rgb, alpha = img[..., :3], (img[..., 3:4] if c == 4 else None)
+    if channels <= 2:
+        if c <= 2:
+            out1 = grey
+        else:
+            wsum = (
+                rgb[..., 0].astype(np.uint32) * 77
+                + rgb[..., 1].astype(np.uint32) * 150
+                + rgb[..., 2].astype(np.uint32) * 29
+            )
+            out1 = (wsum >> 8).astype(dt)[..., None]
+        if channels == 1:
+            return np.ascontiguousarray(out1)
+        a = alpha if alpha is not None else np.full_like(out1, full)
+        return np.concatenate([out1, a], axis=2)
+    if channels == 3:
+        return np.ascontiguousarray(rgb)
+    a = alpha if alpha is not None else np.full_like(rgb[..., :1], full)
+    return np.concatenate([rgb, a], axis=2)
+
+
 def read_image(path) -> np.ndarray:
     """stbi_load equivalent: load an image file as (H, W, C) uint8."""
     with open(path, "rb") as f:
@@ -76,6 +180,17 @@ def read_image(path) -> np.ndarray:
 
         return formats.decode_tga(data)
     return decode_image(data)
+
+
+def read_image_16(path) -> np.ndarray:
+    """``stbi_load_16`` file variant: (H, W, C) uint16."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if str(path).lower().endswith((".tga", ".icb", ".vda", ".vst")):
+        from lanczos_tpu.io import formats
+
+        return formats.decode_tga(data).astype(np.uint16) * 257
+    return decode_image_16(data)
 
 
 def encode_image(img: np.ndarray, format: str, **kw) -> bytes:

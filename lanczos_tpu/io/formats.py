@@ -177,6 +177,34 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return img.reshape(h, w, nchan).copy()
 
 
+def decode_pnm16(data: bytes) -> np.ndarray:
+    """Binary PNM at full width → (H, W, 1|3) uint16 (stbi_load_16 analog;
+    samples rescaled to the 0–65535 range from the header's maxval)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise FormatError("only binary PNM (P5/P6) supported")
+    nchan = 1 if data[:2] == b"P5" else 3
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval < 256:
+        raw = np.frombuffer(data[pos : pos + w * h * nchan], np.uint8)
+    else:
+        raw = np.frombuffer(data[pos : pos + 2 * w * h * nchan], ">u2")
+    img = (raw.astype(np.uint32) * 65535 // maxval).astype(np.uint16)
+    return img.reshape(h, w, nchan).copy()
+
+
 # ---------------------------------------------------------------- GIF
 
 
@@ -262,15 +290,73 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
+    """First GIF frame → (H, W, 3|4) uint8 (alpha iff frame transparency)."""
     try:
-        return _decode_gif(data)
+        for w, h, fr in _gif_walk(data):
+            x0, y0, idx, pal, transparent, _delay, _disp = fr
+            rgb = pal[idx]
+            if transparent is not None:
+                a = np.where(idx == transparent, 0, 255).astype(np.uint8)
+                rgb = np.concatenate([rgb, a[..., None]], -1)
+            # composite into the full logical-screen canvas if offset
+            if (x0, y0, idx.shape[1], idx.shape[0]) != (0, 0, w, h):
+                c = rgb.shape[-1]
+                canvas = np.zeros((h, w, c), np.uint8)
+                canvas[y0 : y0 + idx.shape[0], x0 : x0 + idx.shape[1]] = rgb
+                rgb = canvas
+            return np.ascontiguousarray(rgb)
     except (IndexError, struct.error) as e:
         # running off the end of the byte stream mid-structure is a
         # truncated/corrupt file, not an internal error
         raise FormatError(f"truncated GIF: {e}") from e
+    raise FormatError("GIF contains no image")
 
 
-def _decode_gif(data: bytes) -> np.ndarray:
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
+    """All GIF frames, composited — the ``stbi_load_gif_from_memory``
+    analog (``stb_image.h``'s two-layer canvas accumulation).
+
+    Returns ``(frames, delays)``: frames is (N, H, W, 4) uint8 RGBA on the
+    full logical screen with inter-frame disposal applied (keep /
+    restore-to-background / restore-to-previous); delays are per-frame
+    display times in milliseconds (GIF stores centiseconds; stb also
+    returns ms).
+    """
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    canvas = None
+    try:
+        for w, h, fr in _gif_walk(data):
+            x0, y0, idx, pal, transparent, delay_cs, dispose = fr
+            if canvas is None:
+                canvas = np.zeros((h, w, 4), np.uint8)
+            ih, iw = idx.shape
+            region = canvas[y0 : y0 + ih, x0 : x0 + iw]
+            saved = region.copy() if dispose == 3 else None
+            rgba = np.concatenate(
+                [pal[idx], np.full((ih, iw, 1), 255, np.uint8)], -1
+            )
+            if transparent is not None:
+                keep = (idx == transparent)[..., None]
+                rgba = np.where(keep, region, rgba)
+            region[...] = rgba
+            frames.append(canvas.copy())
+            delays.append(delay_cs * 10)
+            if dispose == 2:  # restore to background = transparent black
+                region[...] = 0
+            elif dispose == 3 and saved is not None:
+                region[...] = saved
+    except (IndexError, struct.error) as e:
+        raise FormatError(f"truncated GIF: {e}") from e
+    if not frames:
+        raise FormatError("GIF contains no image")
+    return np.stack(frames), delays
+
+
+def _gif_walk(data: bytes):
+    """Yield ``(w, h, (x0, y0, idx, pal, transparent, delay_cs, dispose))``
+    per image block; the graphic-control state resets after each image per
+    the 89a spec."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise FormatError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
@@ -282,6 +368,8 @@ def _decode_gif(data: bytes) -> np.ndarray:
         gpal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
     transparent = None
+    delay_cs = 0
+    dispose = 0
     while pos < len(data):
         b0 = data[pos]
         if b0 == 0x21:  # extension
@@ -290,8 +378,9 @@ def _decode_gif(data: bytes) -> np.ndarray:
             if label == 0xF9:  # graphic control
                 size = data[pos]
                 gflags = data[pos + 1]
-                if gflags & 1:
-                    transparent = data[pos + 4]
+                delay_cs = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
+                dispose = (gflags >> 2) & 7
+                transparent = data[pos + 4] if gflags & 1 else None
                 pos += size + 1
             while data[pos] != 0:  # skip sub-blocks
                 pos += data[pos] + 1
@@ -328,22 +417,14 @@ def _decode_gif(data: bytes) -> np.ndarray:
                 )
                 de[rows] = idx
                 idx = de
-            rgb = pal[idx]
-            if transparent is not None:
-                a = np.where(idx == transparent, 0, 255).astype(np.uint8)
-                rgb = np.concatenate([rgb, a[..., None]], -1)
-            # first frame only; composite into full canvas if offset
-            if (x0, y0, iw, ih) != (0, 0, w, h):
-                c = rgb.shape[-1]
-                canvas = np.zeros((h, w, c), np.uint8)
-                canvas[y0 : y0 + ih, x0 : x0 + iw] = rgb
-                rgb = canvas
-            return np.ascontiguousarray(rgb)
+            yield w, h, (x0, y0, idx, pal, transparent, delay_cs, dispose)
+            transparent = None
+            delay_cs = 0
+            dispose = 0
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise FormatError(f"bad GIF block 0x{b0:02X}")
-    raise FormatError("GIF contains no image")
 
 
 # ------------------------------------------------------------- encoders
@@ -458,7 +539,13 @@ def _u16_to_u8(v: np.ndarray) -> np.ndarray:
     return ((v.astype(np.uint32) * 255 + 32895) >> 16).astype(np.uint8)
 
 
-def decode_psd(data: bytes) -> np.ndarray:
+def decode_psd16(data: bytes) -> np.ndarray:
+    """PSD composite at full width → (H, W, 3|4) uint16 (stbi_load_16
+    analog: native for 16-bit files, ``v * 257`` promotion for 8-bit)."""
+    return decode_psd(data, _want16=True)
+
+
+def decode_psd(data: bytes, _want16: bool = False) -> np.ndarray:
     """Photoshop PSD composite → (H, W, 3|4) uint8.
 
     Supports what the reference's vendored stb does (stb_image.h psd
@@ -485,7 +572,7 @@ def decode_psd(data: bytes) -> np.ndarray:
     (compression,) = struct.unpack(">H", data[pos : pos + 2])
     pos += 2
     out_c = 4 if channels >= 4 else 3
-    planes = np.zeros((out_c, h * w), np.uint8)
+    planes = np.zeros((out_c, h * w), np.uint16 if _want16 else np.uint8)
     mv = memoryview(data)
     if compression == 0:
         nb = depth // 8
@@ -495,9 +582,11 @@ def decode_psd(data: bytes) -> np.ndarray:
             if ch >= out_c:
                 continue
             if depth == 8:
-                planes[ch] = np.frombuffer(plane, np.uint8)
+                v8 = np.frombuffer(plane, np.uint8)
+                planes[ch] = v8.astype(np.uint16) * 257 if _want16 else v8
             else:
-                planes[ch] = _u16_to_u8(np.frombuffer(plane, ">u2"))
+                v16 = np.frombuffer(plane, ">u2")
+                planes[ch] = v16 if _want16 else _u16_to_u8(v16)
     elif compression == 1:
         if depth != 8:
             raise FormatError("PSD RLE is only defined for 8-bit channels")
@@ -507,7 +596,9 @@ def decode_psd(data: bytes) -> np.ndarray:
             for y in range(h):
                 pos = _packbits(mv, pos, row)
                 if ch < out_c:
-                    planes[ch, y * w : (y + 1) * w] = row
+                    planes[ch, y * w : (y + 1) * w] = (
+                        row.astype(np.uint16) * 257 if _want16 else row
+                    )
     else:
         raise FormatError(f"PSD compression {compression} unsupported")
     return np.ascontiguousarray(
@@ -766,3 +857,104 @@ def decode_pic(data: bytes) -> np.ndarray:
             else:
                 raise FormatError(f"PIC packet type {ptype} unsupported")
     return np.ascontiguousarray(img if has_alpha else img[:, :, :3])
+
+
+# ------------------------------------------------------------ header probe
+#
+# The ``stbi_info`` analog: parse just enough header to report dimensions,
+# channel count, and sample width without decoding pixel data
+# (stb_image.h's stbi__*_info family).
+
+
+def probe(data: bytes):
+    """Header-only probe for the formats this module owns.
+
+    Returns ``(format, width, height, channels, bits)`` where *channels*
+    and *bits* describe what the matching decoder would return (palette
+    and BGR→RGB conversions applied).  Raises :class:`FormatError` when
+    the magic matches no known container; PNG/JPEG live in their own
+    modules and are dispatched by :func:`lanczos_tpu.io.probe_image`.
+    """
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp = struct.unpack("<H", data[28:30])[0]
+        if bpp not in (8, 24, 32):
+            raise FormatError(f"BMP bpp {bpp} unsupported")
+        return ("bmp", w, abs(h), 4 if bpp == 32 else 3, 8)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        # transparency (→ alpha channel) comes from the first image's GCE
+        pos = 13
+        if data[10] & 0x80:
+            pos += 3 * (2 << (data[10] & 7))
+        channels = 3
+        while pos < len(data) and data[pos] == 0x21:
+            if data[pos + 1] == 0xF9 and data[pos + 3] & 1:
+                channels = 4
+            pos += 2
+            while data[pos] != 0:
+                pos += data[pos] + 1
+            pos += 1
+        return ("gif", w, h, channels, 8)
+    if data[:4] == b"8BPS":
+        nch, h, w, depth, _mode = struct.unpack(">HIIHH", data[12:26])
+        return ("psd", w, h, 4 if nch >= 4 else 3, depth)
+    if data[:2] == b"#?":
+        pos = 0
+        while True:
+            nl = data.index(b"\n", pos)
+            line = data[pos:nl]
+            pos = nl + 1
+            if line == b"":
+                break
+        res = data[pos : data.index(b"\n", pos)].split()
+        if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+            raise FormatError("HDR orientation unsupported")
+        return ("hdr", int(res[3]), int(res[1]), 3, 32)
+    if data[:4] == b"\x53\x80\xf6\x34" and data[88:92] == b"PICT":
+        w, h = struct.unpack(">HH", data[92:96])
+        pos, has_alpha = 104, False
+        while True:
+            chained, _size, _ptype, mask = data[pos : pos + 4]
+            pos += 4
+            has_alpha = has_alpha or bool(mask & 0x10)
+            if not chained:
+                break
+        return ("pic", w, h, 4 if has_alpha else 3, 8)
+    if data[:2] in (b"P5", b"P6"):
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while not data[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(data[start:pos]))
+        w, h, maxval = vals
+        return ("pnm", w, h, 1 if data[:2] == b"P5" else 3, 8 if maxval < 256 else 16)
+    raise FormatError("unrecognized image container")
+
+
+def probe_tga(data: bytes):
+    """TGA header probe (no magic — plausibility-checked like stb's
+    ``stbi__tga_test``).  Returns ``(width, height, channels, bits)``."""
+    if len(data) < 18:
+        raise FormatError("too short for a TGA header")
+    cmap_type, img_type = data[1], data[2]
+    if cmap_type not in (0, 1) or img_type not in (1, 2, 3, 9, 10, 11):
+        raise FormatError("not a TGA")
+    w, h = struct.unpack("<HH", data[12:16])
+    bpp = data[16]
+    if w == 0 or h == 0 or bpp not in (8, 15, 16, 24, 32):
+        raise FormatError("not a TGA")
+    if img_type in (3, 11):  # grayscale
+        channels = 1
+    elif img_type in (1, 9):  # paletted → RGB(A) by palette entry size
+        channels = 4 if data[7] == 32 else 3
+    else:
+        channels = 4 if bpp == 32 else 3
+    return (w, h, channels, 8)

@@ -51,6 +51,34 @@ def _triangle_upsample_axis(p: np.ndarray, factor: int, axis: int, size: int):
     return np.moveaxis(up, 0, axis)
 
 
+def probe(data: bytes):
+    """Header-only probe (stbi_info analog) → ``(w, h, channels, bits)``.
+
+    Walks the marker stream to the first SOFn (any DCT frame type, so
+    progressive files report dimensions even though :func:`decode` is
+    baseline-only, matching ``stbi__jpeg_info``)."""
+    if data[:2] != b"\xff\xd8":
+        raise JPEGError("not a JPEG (missing SOI)")
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2 if marker != 0xFF else 1
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = data[pos + 4 : pos + 2 + seglen]
+            h, w = struct.unpack(">HH", body[1:5])
+            return (w, h, int(body[5]), 8)
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        pos += 2 + seglen
+    raise JPEGError("no SOF marker found")
+
+
 def decode(data: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, C) uint8 (C ∈ {1, 3})."""
     lib = native_lib()

@@ -13,7 +13,8 @@ pixel along the row).
 
 Supported: 8-bit greyscale, grey+alpha, RGB, RGBA, and paletted PNGs,
 sequential AND Adam7-interlaced.  16-bit channels are read and narrowed
-to 8 with an explicit ``>> 8``.
+to 8 with an explicit ``>> 8`` by :func:`decode`, or kept at full width
+by :func:`decode16` (the ``stbi_load_16`` analog).
 """
 
 from __future__ import annotations
@@ -125,12 +126,22 @@ def _pass_geometry(w: int, h: int, depth: int, nchan: int):
 
 
 def _rows_to_samples(
-    rec: np.ndarray, w: int, nchan: int, depth: int, color: int
+    rec: np.ndarray, w: int, nchan: int, depth: int, color: int,
+    want16: bool = False,
 ) -> np.ndarray:
-    """Unfiltered byte rows (h, stride) → (h, w, nchan) uint8 samples."""
+    """Unfiltered byte rows (h, stride) → (h, w, nchan) samples.
+
+    uint8 by default; with ``want16`` uint16 (native for depth-16 sources,
+    promoted ``v * 257`` otherwise, matching stb's 8→16 promotion)."""
     h = rec.shape[0]
     if depth == 16:
-        return rec.reshape(h, w, nchan, 2)[..., 0]  # big-endian high byte
+        pairs = rec.reshape(h, w, nchan, 2).astype(np.uint16)
+        if want16:
+            return (pairs[..., 0] << 8) | pairs[..., 1]  # big-endian
+        return pairs[..., 0].astype(np.uint8)  # high byte == >> 8
+    if want16:
+        v8 = _rows_to_samples(rec, w, nchan, depth, color)
+        return v8.astype(np.uint16) * 257
     if depth < 8:
         bits = np.unpackbits(rec, axis=1)  # (h, stride*8), MSB first
         samples = bits.reshape(h, -1, depth)[:, :w, :]
@@ -142,11 +153,49 @@ def _rows_to_samples(
     return rec.reshape(h, w, nchan)
 
 
+def probe(data: bytes):
+    """Header-only probe (stbi_info analog) → ``(w, h, channels, bits)``.
+
+    *channels* is what :func:`decode` would return: palette entries expand
+    to RGB (or RGBA when a tRNS chunk is present)."""
+    if data[:8] != _SIG:
+        raise PNGError("not a PNG (bad signature)")
+    ihdr = None
+    trns = False
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"tRNS":
+            trns = True
+        elif ctype == b"IDAT":
+            break
+    if ihdr is None:
+        raise PNGError("missing IHDR")
+    w, h, depth, color, _comp, _filt, _inter = ihdr
+    if color not in _COLOR_CHANNELS:
+        raise PNGError(f"bad color type {color}")
+    if color == 3:
+        return (w, h, 4 if trns else 3, 8)
+    return (w, h, _COLOR_CHANNELS[color], depth if depth == 16 else 8)
+
+
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8 (C ∈ {1, 2, 3, 4}).
 
     Supports non-interlaced and Adam7-interlaced images (the latter closing
     the stb ingest gap noted in the round-1 verdict)."""
+    return _decode(data, want16=False)
+
+
+def decode16(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint16 — the ``stbi_load_16`` analog.
+
+    Depth-16 sources decode natively; shallower depths (and palette
+    entries) are promoted ``v * 257`` exactly as stb does."""
+    return _decode(data, want16=True)
+
+
+def _decode(data: bytes, want16: bool) -> np.ndarray:
     if data[:8] != _SIG:
         raise PNGError("not a PNG (bad signature)")
     ihdr = None
@@ -175,6 +224,9 @@ def decode(data: bytes) -> np.ndarray:
         raise PNGError(f"unsupported bit depth {depth} for color type {color}")
     nchan = _COLOR_CHANNELS[color]
     geom = _pass_geometry(w, h, depth, nchan)
+    # palette indices always decode as 8-bit; promotion happens after lookup
+    w16 = want16 and color != 3
+    sdt = np.uint16 if w16 else np.uint8
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if interlace == 0:
         stride, bpp = geom(w)
@@ -183,9 +235,9 @@ def decode(data: bytes) -> np.ndarray:
                 f"decompressed size {raw.size} != {h * (stride + 1)}"
             )
         rec = _unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
-        img = _rows_to_samples(rec, w, nchan, depth, color)
+        img = _rows_to_samples(rec, w, nchan, depth, color, w16)
     else:  # Adam7: 7 independently-filtered sub-images, composited
-        img = np.zeros((h, w, nchan), np.uint8)
+        img = np.zeros((h, w, nchan), sdt)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = -(-(w - x0) // dx) if w > x0 else 0
@@ -201,7 +253,7 @@ def decode(data: bytes) -> np.ndarray:
             )
             pos += n
             img[y0::dy, x0::dx] = _rows_to_samples(
-                rec, pw, nchan, depth, color
+                rec, pw, nchan, depth, color, w16
             )
     if color == 3:
         if palette is None:
@@ -212,6 +264,8 @@ def decode(data: bytes) -> np.ndarray:
             a = np.full(palette.shape[0], 255, np.uint8)
             a[: trns.size] = trns
             img = np.concatenate([img, a[pal_idx][..., None]], axis=-1)
+        if want16:
+            img = img.astype(np.uint16) * 257
     return np.ascontiguousarray(img)
 
 
