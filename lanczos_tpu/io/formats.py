@@ -22,7 +22,9 @@ Scope:
 
 from __future__ import annotations
 
+import functools
 import struct
+import zlib
 
 import numpy as np
 
@@ -31,9 +33,57 @@ class FormatError(ValueError):
     pass
 
 
+_MAX_DIM = 1 << 24  # stb's STBI_MAX_DIMENSIONS default
+
+
+def check_dims(w: int, h: int) -> None:
+    """Reject implausible header dimensions BEFORE any allocation sized by
+    them (stb's STBI_MAX_DIMENSIONS guard)."""
+    if not (0 < w <= _MAX_DIM and 0 < h <= _MAX_DIM):
+        raise FormatError(f"implausible image dimensions {w}x{h}")
+
+
+def codec_errors(err_type):
+    """Normalize stray parse failures to the codec's typed error.
+
+    stb's contract is that corrupt bytes yield a NULL + error string, never
+    a crash; the Python analog is "always raises a :class:`ValueError`
+    subclass", never a raw ``IndexError`` / ``struct.error`` /
+    ``zlib.error`` escaping from offset arithmetic on truncated data.
+    """
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except err_type:
+                raise
+            except (
+                IndexError,
+                KeyError,
+                struct.error,
+                ValueError,
+                OverflowError,
+                zlib.error,
+            ) as e:
+                raise err_type(
+                    f"{fn.__name__}: corrupt or truncated input "
+                    f"({type(e).__name__}: {e})"
+                ) from e
+
+        return wrapper
+
+    return deco
+
+
+_codec = codec_errors(FormatError)
+
+
 # ---------------------------------------------------------------- BMP
 
 
+@_codec
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise FormatError("not a BMP")
@@ -48,6 +98,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise FormatError(f"BMP compression {comp} unsupported")
     top_down = h < 0
     h = abs(h)
+    check_dims(w, h)
     if bpp == 8:
         (ncol,) = struct.unpack("<I", data[46:50])
         ncol = ncol or 256
@@ -73,11 +124,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------- TGA
 
 
+@_codec
 def decode_tga(data: bytes) -> np.ndarray:
     idlen, cmap_type, imgtype = data[0], data[1], data[2]
     cmap_start, cmap_len = struct.unpack("<HH", data[3:7])
     cmap_bpp = data[7]
     w, h = struct.unpack("<HH", data[12:16])
+    check_dims(w, h)
     bpp, desc = data[16], data[17]
     if imgtype not in (1, 2, 3, 9, 10, 11):
         raise FormatError(f"TGA type {imgtype} unsupported")
@@ -149,6 +202,7 @@ def _tga_px_to_rgb(px: np.ndarray, bpp: int) -> np.ndarray:
 # ---------------------------------------------------------------- PNM
 
 
+@_codec
 def decode_pnm(data: bytes) -> np.ndarray:
     if data[:2] not in (b"P5", b"P6"):
         raise FormatError("only binary PNM (P5/P6) supported")
@@ -169,6 +223,9 @@ def decode_pnm(data: bytes) -> np.ndarray:
         vals.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
+    check_dims(w, h)
+    if maxval <= 0:
+        raise FormatError(f"bad PNM maxval {maxval}")
     if maxval < 256:
         img = np.frombuffer(data[pos : pos + w * h * nchan], np.uint8)
     else:
@@ -177,6 +234,7 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return img.reshape(h, w, nchan).copy()
 
 
+@_codec
 def decode_pnm16(data: bytes) -> np.ndarray:
     """Binary PNM at full width → (H, W, 1|3) uint16 (stbi_load_16 analog;
     samples rescaled to the 0–65535 range from the header's maxval)."""
@@ -197,6 +255,9 @@ def decode_pnm16(data: bytes) -> np.ndarray:
         vals.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
+    check_dims(w, h)
+    if maxval <= 0:
+        raise FormatError(f"bad PNM maxval {maxval}")
     if maxval < 256:
         raw = np.frombuffer(data[pos : pos + w * h * nchan], np.uint8)
     else:
@@ -289,6 +350,7 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
     return out
 
 
+@_codec
 def decode_gif(data: bytes) -> np.ndarray:
     """First GIF frame → (H, W, 3|4) uint8 (alpha iff frame transparency)."""
     try:
@@ -312,6 +374,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise FormatError("GIF contains no image")
 
 
+@_codec
 def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
     """All GIF frames, composited — the ``stbi_load_gif_from_memory``
     analog (``stb_image.h``'s two-layer canvas accumulation).
@@ -360,6 +423,7 @@ def _gif_walk(data: bytes):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise FormatError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
+    check_dims(w, h)
     flags = data[10]
     pos = 13
     gpal = None
@@ -539,12 +603,14 @@ def _u16_to_u8(v: np.ndarray) -> np.ndarray:
     return ((v.astype(np.uint32) * 255 + 32895) >> 16).astype(np.uint8)
 
 
+@_codec
 def decode_psd16(data: bytes) -> np.ndarray:
     """PSD composite at full width → (H, W, 3|4) uint16 (stbi_load_16
     analog: native for 16-bit files, ``v * 257`` promotion for 8-bit)."""
     return decode_psd(data, _want16=True)
 
 
+@_codec
 def decode_psd(data: bytes, _want16: bool = False) -> np.ndarray:
     """Photoshop PSD composite → (H, W, 3|4) uint8.
 
@@ -559,6 +625,7 @@ def decode_psd(data: bytes, _want16: bool = False) -> np.ndarray:
     if version != 1:
         raise FormatError(f"PSD version {version} unsupported")
     channels, h, w, depth, color_mode = struct.unpack(">HIIHH", data[12:26])
+    check_dims(w, h)
     if channels < 1 or channels > 16:
         raise FormatError(f"PSD channel count {channels} out of range")
     if depth not in (8, 16):
@@ -621,6 +688,7 @@ def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
     return np.where((e == 0)[..., None], np.float32(0.0), rgb)
 
 
+@_codec
 def decode_hdr(data: bytes) -> np.ndarray:
     """Radiance HDR → (H, W, 3) float32 linear radiance.
 
@@ -650,6 +718,7 @@ def decode_hdr(data: bytes) -> np.ndarray:
     if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
         raise FormatError(f"HDR orientation {data[pos-1-len(res):nl]!r} unsupported")
     h, w = int(res[1]), int(res[3])
+    check_dims(w, h)
     out = np.zeros((h, w, 4), np.uint8)
     mv = memoryview(data)
     row = np.empty((w, 4), np.uint8)
@@ -787,11 +856,13 @@ def encode_hdr(img: np.ndarray) -> bytes:
 # list with uncompressed / pure-RLE / mixed-RLE channel encodings.
 
 
+@_codec
 def decode_pic(data: bytes) -> np.ndarray:
     """Softimage PIC → (H, W, 3|4) uint8 (alpha when a packet carries it)."""
     if data[:4] != b"\x53\x80\xf6\x34" or data[88:92] != b"PICT":
         raise FormatError("not a Softimage PIC")
     w, h = struct.unpack(">HH", data[92:96])
+    check_dims(w, h)
     # ratio f32 + fields u16 + pad u16 precede the packet list
     pos = 104
     packets = []
@@ -866,6 +937,7 @@ def decode_pic(data: bytes) -> np.ndarray:
 # (stb_image.h's stbi__*_info family).
 
 
+@_codec
 def probe(data: bytes):
     """Header-only probe for the formats this module owns.
 
@@ -877,12 +949,15 @@ def probe(data: bytes):
     """
     if data[:2] == b"BM":
         w, h = struct.unpack("<ii", data[18:26])
+        h = abs(h)
+        check_dims(w, h)
         bpp = struct.unpack("<H", data[28:30])[0]
         if bpp not in (8, 24, 32):
             raise FormatError(f"BMP bpp {bpp} unsupported")
-        return ("bmp", w, abs(h), 4 if bpp == 32 else 3, 8)
+        return ("bmp", w, h, 4 if bpp == 32 else 3, 8)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", data[6:10])
+        check_dims(w, h)
         # transparency (→ alpha channel) comes from the first image's GCE
         pos = 13
         if data[10] & 0x80:
@@ -898,6 +973,7 @@ def probe(data: bytes):
         return ("gif", w, h, channels, 8)
     if data[:4] == b"8BPS":
         nch, h, w, depth, _mode = struct.unpack(">HIIHH", data[12:26])
+        check_dims(w, h)
         return ("psd", w, h, 4 if nch >= 4 else 3, depth)
     if data[:2] == b"#?":
         pos = 0
@@ -910,9 +986,11 @@ def probe(data: bytes):
         res = data[pos : data.index(b"\n", pos)].split()
         if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
             raise FormatError("HDR orientation unsupported")
+        check_dims(int(res[3]), int(res[1]))
         return ("hdr", int(res[3]), int(res[1]), 3, 32)
     if data[:4] == b"\x53\x80\xf6\x34" and data[88:92] == b"PICT":
         w, h = struct.unpack(">HH", data[92:96])
+        check_dims(w, h)
         pos, has_alpha = 104, False
         while True:
             chained, _size, _ptype, mask = data[pos : pos + 4]
@@ -924,21 +1002,25 @@ def probe(data: bytes):
     if data[:2] in (b"P5", b"P6"):
         pos, vals = 2, []
         while len(vals) < 3:
-            while data[pos : pos + 1].isspace():
+            while pos < len(data) and data[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= len(data):
+                raise FormatError("truncated PNM header")
             if data[pos : pos + 1] == b"#":
-                while data[pos] != 0x0A:
+                while pos < len(data) and data[pos] != 0x0A:
                     pos += 1
                 continue
             start = pos
-            while not data[pos : pos + 1].isspace():
+            while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
             vals.append(int(data[start:pos]))
         w, h, maxval = vals
+        check_dims(w, h)
         return ("pnm", w, h, 1 if data[:2] == b"P5" else 3, 8 if maxval < 256 else 16)
     raise FormatError("unrecognized image container")
 
 
+@_codec
 def probe_tga(data: bytes):
     """TGA header probe (no magic — plausibility-checked like stb's
     ``stbi__tga_test``).  Returns ``(width, height, channels, bits)``."""

@@ -30,6 +30,12 @@ class JPEGError(ValueError):
     pass
 
 
+def _codec(fn):
+    from lanczos_tpu.io.formats import codec_errors
+
+    return codec_errors(JPEGError)(fn)
+
+
 def _triangle_upsample_axis(p: np.ndarray, factor: int, axis: int, size: int):
     """libjpeg-style fancy upsampling along one axis (factor 1 or 2;
     other factors fall back to nearest)."""
@@ -51,6 +57,7 @@ def _triangle_upsample_axis(p: np.ndarray, factor: int, axis: int, size: int):
     return np.moveaxis(up, 0, axis)
 
 
+@_codec
 def probe(data: bytes):
     """Header-only probe (stbi_info analog) → ``(w, h, channels, bits)``.
 
@@ -79,6 +86,7 @@ def probe(data: bytes):
     raise JPEGError("no SOF marker found")
 
 
+@_codec
 def decode(data: bytes) -> np.ndarray:
     """JPEG bytes → (H, W, C) uint8 (C ∈ {1, 3})."""
     lib = native_lib()

@@ -35,6 +35,12 @@ class PNGError(ValueError):
     pass
 
 
+def _codec(fn):
+    from lanczos_tpu.io.formats import codec_errors
+
+    return codec_errors(PNGError)(fn)
+
+
 def _chunks(data: bytes):
     pos = 8
     while pos + 8 <= len(data):
@@ -153,6 +159,7 @@ def _rows_to_samples(
     return rec.reshape(h, w, nchan)
 
 
+@_codec
 def probe(data: bytes):
     """Header-only probe (stbi_info analog) → ``(w, h, channels, bits)``.
 
@@ -187,6 +194,7 @@ def decode(data: bytes) -> np.ndarray:
     return _decode(data, want16=False)
 
 
+@_codec
 def decode16(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint16 — the ``stbi_load_16`` analog.
 
@@ -195,6 +203,7 @@ def decode16(data: bytes) -> np.ndarray:
     return _decode(data, want16=True)
 
 
+@_codec
 def _decode(data: bytes, want16: bool) -> np.ndarray:
     if data[:8] != _SIG:
         raise PNGError("not a PNG (bad signature)")
@@ -214,6 +223,9 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
     if ihdr is None or not idat:
         raise PNGError("missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
+    from lanczos_tpu.io.formats import check_dims
+
+    check_dims(w, h)
     if comp != 0 or filt != 0:
         raise PNGError("unsupported compression/filter method")
     if interlace not in (0, 1):
