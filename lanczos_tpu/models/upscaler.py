@@ -109,14 +109,22 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
         return False
     if jax.default_backend() in ("cpu",):
         return False
-    from lanczos_tpu.ops.resample_pallas import _mxu_plan
+    from lanczos_tpu.core.config import Order
+    from lanczos_tpu.ops.resample_pallas import _mxu_plan, transposed_cfg
 
     # the plan covers dering and intermediate_quantize too (fused one-hot
     # central-tap bounds / trunc-clip mid, height-first order only — the
     # plan returns None otherwise)
     if _mxu_plan(cfg) is not None:
         return True
-    from lanczos_tpu.core.config import Order
+    if cfg.order == Order.WIDTH_FIRST and (
+        cfg.dering or cfg.intermediate_quantize
+    ):
+        # width-first nonlinear configs run as the height-first kernel on
+        # the transposed image (PallasOps.tr_ops) — eligible iff the
+        # transposed plan is
+        if _mxu_plan(transposed_cfg(cfg)) is not None:
+            return True
 
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
     # v2 shift-FMA fallback: fused dering for integer upscales

@@ -219,6 +219,20 @@ def _mxu_plan(
     return None
 
 
+def transposed_cfg(cfg: ResampleConfig) -> ResampleConfig:
+    """The height-first config whose result, applied to the transposed
+    image, equals this width-first config on the original: swapping both
+    shape axes swaps which operator is "vertical", and the per-output-pixel
+    nonlinearities (dering clamp, uint8-quantized intermediate) commute
+    with the transpose because they act pointwise after each pass."""
+    return dataclasses.replace(
+        cfg,
+        in_shape=(cfg.in_shape[1], cfg.in_shape[0]),
+        out_shape=(cfg.out_shape[1], cfg.out_shape[0]),
+        order=Order.HEIGHT_FIRST,
+    )
+
+
 def _mxu_plan_tile(
     cfg: ResampleConfig, tile_h: int, cb_target: int = 128
 ) -> Optional[_MXUPlan]:
@@ -459,6 +473,20 @@ class PallasOps:
             raise NotImplementedError("c_faithful is XLA/ref-backend only")
         self.cfg = cfg
         self.interpret = interpret
+        # Width-first nonlinear configs (dering / quantized intermediate
+        # make the pass order observable) run as the height-first kernel on
+        # the TRANSPOSED image: Y = (kernel_T(X^T))^T exactly.  The two
+        # swapaxes cost one extra HBM round-trip (~0.4 ms at 4K->8K) vs the
+        # ~39 ms gather path these configs previously fell to.
+        self.tr_ops = None
+        if cfg.order == Order.WIDTH_FIRST and (
+            cfg.dering or cfg.intermediate_quantize
+        ):
+            self.tr_ops = PallasOps(
+                transposed_cfg(cfg), dtype, tile_h, tile_w, interpret, variant
+            )
+            self.mxu = self.tr_ops.mxu  # eligibility mirrors the inner plan
+            return
         # ---- MXU variant (v3): both passes as dense MXU matmuls on the
         # UNPADDED image; fastest fused path on real TPUs (~2x v2 at
         # 4K→8K).  Float summation order differs from the shift paths, so
@@ -1062,6 +1090,9 @@ def _fused_call(ops: PallasOps, img_planar: jnp.ndarray) -> jnp.ndarray:
 
 def upscale_planar(img: jnp.ndarray, ops: PallasOps) -> jnp.ndarray:
     """Planar fast path: (C, H, W) or (B, C, H, W) uint8 → same rank uint8."""
+    if ops.tr_ops is not None:  # width-first via the transposed kernel
+        y = upscale_planar(jnp.swapaxes(img, -1, -2), ops.tr_ops)
+        return jnp.swapaxes(y, -1, -2)
     cfg = ops.cfg
     batched = img.ndim == 4
     x = img if batched else img[None]

@@ -298,9 +298,41 @@ def test_mxu_intermediate_quantize(rng):
         Profile.PRECISE, shape, scale=(2, 1), a=3,
         intermediate_quantize=True, order=Order.WIDTH_FIRST,
     )
+    # the raw plan is height-first only...
     assert _mxu_plan(wf) is None
-    with pytest.raises(NotImplementedError):
-        PallasOps(wf, interpret=True, variant="mxu")
+    # ...but PallasOps routes width-first through the height-first kernel
+    # on the transposed image (tr_ops), matching the gather path exactly
+    # up to summation-order LSBs
+    ref_wf = np.asarray(Upscaler(wf, backend="xla")(img))
+    out_wf = _run_pallas(wf, img, variant="mxu")
+    diff_wf = np.abs(ref_wf.astype(int) - out_wf.astype(int))
+    assert diff_wf.max() <= 1, f"max diff {diff_wf.max()}"
+    # pass order is genuinely observable through the quantize: the two
+    # orders disagree on this image, so the transpose trick is load-bearing
+    assert not np.array_equal(ref_wf, ref)
+
+
+def test_mxu_width_first_dering(rng):
+    """Width-first dering rides the same transposed-kernel delegation."""
+    from lanczos_tpu.core.config import Order
+
+    shape = (40, 56)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, shape, scale=(3, 2), a=3, dering=True,
+        order=Order.WIDTH_FIRST,
+    )
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = _run_pallas(cfg, img, variant="mxu")
+    diff = np.abs(ref.astype(int) - out.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    # batched planar goes through the same delegation
+    ops = PallasOps(cfg, interpret=True, variant="mxu")
+    assert ops.tr_ops is not None
+    batch = np.stack([img, img[::-1].copy()])
+    planar = np.transpose(batch, (0, 3, 1, 2)).copy()
+    out_p = np.transpose(np.asarray(upscale_planar(planar, ops)), (0, 2, 3, 1))
+    np.testing.assert_array_equal(out_p[0], out)
 
 
 def test_mxu_eligibility():
