@@ -98,14 +98,11 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
     the plan is infeasible, dering configs fall back to the v2 shift-FMA
     kernel (integer upscale factors ≤ 16, its domain).  The CPU
     interpreter is test-only, never auto-picked.  Always excluded
-    (PallasOps raises): the fixed-point HLS path, c_faithful, drop-edge
-    dering.
+    (PallasOps raises): the fixed-point HLS path and c_faithful.
+    Drop-edge dering fuses too: the one-hot bound selectors use the
+    operator's clipped tap indices, reproducing the gather path's clamp.
     """
-    from lanczos_tpu.core.config import EdgeMode
-
     if cfg.precision == Precision.FIXED or cfg.c_faithful:
-        return False
-    if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
         return False
     if jax.default_backend() in ("cpu",):
         return False

@@ -252,10 +252,6 @@ def _mxu_plan_tile(
     (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
     (nv, dv), (nh, dh) = reduced_scale(ih, oh), reduced_scale(iw, ow)
     dering = cfg.dering
-    if dering and cfg.edge_mode == EdgeMode.DROP:
-        # drop-edge dering clamps against edge-clamped tap VALUES that the
-        # drop-weighted matrices never see — gather path only
-        return None
     if (dering or cfg.intermediate_quantize) and cfg.order != Order.HEIGHT_FIRST:
         # the fused kernel runs vertical-then-horizontal; through a
         # nonlinearity (dering clamp / quantized intermediate) the pass
@@ -525,10 +521,14 @@ class PallasOps:
                 "variant (height-first); v1/v2 would silently skip it — "
                 "use the block or xla backend"
             )
-        if cfg.edge_mode == EdgeMode.DROP and cfg.dering:
+        if cfg.edge_mode == EdgeMode.DROP and cfg.dering and self.mxu is None:
+            # the MXU one-hot bound selectors use the operator's CLIPPED
+            # tap indices (banded_weights clips DROP indices and only
+            # zeroes the weights), so they reproduce the gather path's
+            # x[idx[a-1]]/x[idx[a]] clamp exactly; without a plan the
+            # shift kernels have no such selector
             raise NotImplementedError(
-                "drop-edge dering clamps against edge-clamped tap values — "
-                "gather path only"
+                "drop-edge dering without an MXU plan — gather path only"
             )
         (ih, iw), (oh, ow) = cfg.in_shape, cfg.out_shape
         # Numerics: uint8 pixels are EXACT in bf16 (integers ≤ 255 fit in

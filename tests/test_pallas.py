@@ -260,8 +260,11 @@ def test_mxu_anisotropic(rng, ins, outs):
     assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
 
 
-def test_mxu_dering_order_and_drop_gates():
-    """Width-first dering and drop-edge dering have no fused plan."""
+def test_mxu_dering_order_and_drop_gates(rng):
+    """Width-first dering has no RAW fused plan (it delegates through the
+    transposed config instead); drop-edge dering fuses directly — the
+    one-hot bound selectors use the operator's clipped tap indices, which
+    is exactly the gather path's x[idx[a-1]]/x[idx[a]] clamp."""
     from lanczos_tpu.core.config import Order
     from lanczos_tpu.ops.resample_pallas import _mxu_plan
 
@@ -270,11 +273,17 @@ def test_mxu_dering_order_and_drop_gates():
         order=Order.WIDTH_FIRST,
     )
     assert _mxu_plan(wf) is None
-    dr = ResampleConfig.from_profile(
-        Profile.PRECISE, (48, 64), scale=(2, 1), a=3, dering=True,
-        edge_mode=EdgeMode.DROP,
-    )
-    assert _mxu_plan(dr) is None
+    for norm in (False, True):
+        dr = ResampleConfig.from_profile(
+            Profile.PRECISE, (48, 64), scale=(3, 2), a=3, dering=True,
+            edge_mode=EdgeMode.DROP, normalize=norm,
+        )
+        assert _mxu_plan(dr) is not None
+        img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        ref = np.asarray(Upscaler(dr, backend="xla")(img))
+        out = _run_pallas(dr, img, variant="mxu")
+        diff = np.abs(ref.astype(int) - out.astype(int))
+        assert diff.max() <= 1, f"norm={norm} max diff {diff.max()}"
 
 
 def test_mxu_intermediate_quantize(rng):
@@ -355,8 +364,7 @@ def test_mxu_eligibility():
         Profile.PRECISE, (24, 20), scale=(2, 1), a=2, dering=True,
         edge_mode=EdgeMode.DROP,
     )
-    with pytest.raises(NotImplementedError):
-        PallasOps(drop_dering, interpret=True, variant="mxu")
+    assert PallasOps(drop_dering, interpret=True, variant="mxu").mxu is not None
     ok = ResampleConfig.from_profile(Profile.PRECISE, (24, 20), scale=(2, 1), a=2)
     assert PallasOps(ok, interpret=True, variant="auto").mxu is None
     assert PallasOps(ok, interpret=True, variant="mxu").mxu is not None
