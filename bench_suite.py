@@ -103,6 +103,12 @@ def main():
         ("4K->8K+1px_a3_largeN", (2160, 3840), (4321, 7681), 3, None),
         # drop+normalize — fused in the MXU kernel (formerly ~39 ms gather)
         ("4K->8K_a3_dropnorm", (2160, 3840), (4320, 7680), 3, None),
+        # drop-edge dering — fused round 3 (one-hot bounds use the
+        # operator's clipped indices; formerly ~39 ms gather)
+        ("4K->8K_a3_dropdering", (2160, 3840), (4320, 7680), 3, None),
+        # width-first quantized intermediate — transposed-kernel
+        # delegation (round 3; formerly ~39 ms gather)
+        ("4K->8K_a3_wf_quant", (2160, 3840), (4320, 7680), 3, None),
     ]
     if jax.default_backend() == "cpu":
         # off-chip smoke run: tiny analogs of every row (CPU at 4K takes
@@ -114,6 +120,8 @@ def main():
             ("270p->540p_a3_smoke", (272, 480), (544, 960), 3, None),
             ("largeN_smoke", (272, 480), (545, 961), 3, None),
             ("smoke_dropnorm", (272, 480), (544, 960), 3, None),
+            ("smoke_dropdering", (272, 480), (544, 960), 3, None),
+            ("smoke_wf_quant", (272, 480), (544, 960), 3, None),
         ]
     for name, ins, outs, a, batch in cases:
         kw = {}
@@ -121,6 +129,14 @@ def main():
             from lanczos_tpu.core.config import EdgeMode
 
             kw = dict(edge_mode=EdgeMode.DROP, normalize=True)
+        elif "dropdering" in name:
+            from lanczos_tpu.core.config import EdgeMode
+
+            kw = dict(edge_mode=EdgeMode.DROP, normalize=False, dering=True)
+        elif "wf_quant" in name:
+            from lanczos_tpu.core.config import Order
+
+            kw = dict(order=Order.WIDTH_FIRST, intermediate_quantize=True)
         cfg = ResampleConfig.from_profile(
             Profile.PRECISE, ins, out_shape=outs, a=a, **kw
         )
