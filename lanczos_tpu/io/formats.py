@@ -202,17 +202,19 @@ def _tga_px_to_rgb(px: np.ndarray, bpp: int) -> np.ndarray:
 # ---------------------------------------------------------------- PNM
 
 
-@_codec
-def decode_pnm(data: bytes) -> np.ndarray:
-    if data[:2] not in (b"P5", b"P6"):
-        raise FormatError("only binary PNM (P5/P6) supported")
-    nchan = 1 if data[:2] == b"P5" else 3
-    # parse header tokens (skipping comments)
-    pos = 2
-    vals = []
+def _pnm_header(data: bytes):
+    """Parse the PNM header tokens (skipping comments), bounds-guarded.
+
+    Returns ``(pos, [w, h, maxval])`` with ``pos`` just past the single
+    whitespace that terminates the maxval.  The explicit end-of-data
+    checks are load-bearing: ``b"".isspace()`` is False, so an unguarded
+    token walk spins forever on truncated headers (found by fuzzing)."""
+    pos, vals = 2, []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            raise FormatError("truncated PNM header")
         if data[pos : pos + 1] == b"#":
             while pos < len(data) and data[pos] != 0x0A:
                 pos += 1
@@ -221,8 +223,15 @@ def decode_pnm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         vals.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = vals
+    return pos + 1, vals  # single whitespace after maxval
+
+
+@_codec
+def decode_pnm(data: bytes) -> np.ndarray:
+    if data[:2] not in (b"P5", b"P6"):
+        raise FormatError("only binary PNM (P5/P6) supported")
+    nchan = 1 if data[:2] == b"P5" else 3
+    pos, (w, h, maxval) = _pnm_header(data)
     check_dims(w, h)
     if maxval <= 0:
         raise FormatError(f"bad PNM maxval {maxval}")
@@ -236,32 +245,23 @@ def decode_pnm(data: bytes) -> np.ndarray:
 
 @_codec
 def decode_pnm16(data: bytes) -> np.ndarray:
-    """Binary PNM at full width → (H, W, 1|3) uint16 (stbi_load_16 analog;
-    samples rescaled to the 0–65535 range from the header's maxval)."""
+    """Binary PNM at full width → (H, W, 1|3) uint16 (stbi_load_16 analog).
+
+    maxval < 256 sources return exactly ``decode_pnm(data) * 257`` (the
+    documented 8→16 promotion); deeper sources rescale to 0–65535 from
+    the header's maxval (the 16-bit analog of :func:`decode_pnm`'s
+    ``* 255 // maxval``)."""
     if data[:2] not in (b"P5", b"P6"):
         raise FormatError("only binary PNM (P5/P6) supported")
     nchan = 1 if data[:2] == b"P5" else 3
-    pos, vals = 2, []
-    while len(vals) < 3:
-        while data[pos : pos + 1].isspace():
-            pos += 1
-        if data[pos : pos + 1] == b"#":
-            while data[pos] != 0x0A:
-                pos += 1
-            continue
-        start = pos
-        while not data[pos : pos + 1].isspace():
-            pos += 1
-        vals.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
+    pos, vals = _pnm_header(data)
     w, h, maxval = vals
     check_dims(w, h)
     if maxval <= 0:
         raise FormatError(f"bad PNM maxval {maxval}")
     if maxval < 256:
-        raw = np.frombuffer(data[pos : pos + w * h * nchan], np.uint8)
-    else:
-        raw = np.frombuffer(data[pos : pos + 2 * w * h * nchan], ">u2")
+        return decode_pnm(data).astype(np.uint16) * 257
+    raw = np.frombuffer(data[pos : pos + 2 * w * h * nchan], ">u2")
     img = (raw.astype(np.uint32) * 65535 // maxval).astype(np.uint16)
     return img.reshape(h, w, nchan).copy()
 
@@ -599,8 +599,9 @@ def _packbits(src: memoryview, pos: int, out: np.ndarray) -> int:
 
 
 def _u16_to_u8(v: np.ndarray) -> np.ndarray:
-    # stb's 16→8 narrowing: round(v * 255 / 65535)
-    return ((v.astype(np.uint32) * 255 + 32895) >> 16).astype(np.uint8)
+    # stb's 16→8 narrowing is the plain high byte (stbi__convert_16_to_8:
+    # ``orig >> 8``) — same convention as the PNG path's depth-16 decode
+    return (v >> 8).astype(np.uint8)
 
 
 @_codec
@@ -713,10 +714,11 @@ def decode_hdr(data: bytes) -> np.ndarray:
     if not fmt_ok:
         raise FormatError("HDR header lacks FORMAT=32-bit_rle_rgbe")
     nl = data.index(b"\n", pos)
-    res = data[pos:nl].split()
+    res_line = data[pos:nl]
+    res = res_line.split()
     pos = nl + 1
     if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
-        raise FormatError(f"HDR orientation {data[pos-1-len(res):nl]!r} unsupported")
+        raise FormatError(f"HDR orientation {res_line!r} unsupported")
     h, w = int(res[1]), int(res[3])
     check_dims(w, h)
     out = np.zeros((h, w, 4), np.uint8)
@@ -726,7 +728,21 @@ def decode_hdr(data: bytes) -> np.ndarray:
         if not (8 <= w <= 32767) or mv[pos] != 2 or mv[pos + 1] != 2 or (
             (mv[pos + 2] << 8) | mv[pos + 3]
         ) != w:
-            # flat RGBE records, with old-style (1,1,1,n) run markers
+            # flat RGBE records, with old-style (1,1,1,n) run markers.
+            # Fast path first: a marker-free row is w contiguous records —
+            # bulk-read it (the common case for flat writers; the scalar
+            # walk below would cost h·w Python iterations)
+            if pos + 4 * w <= len(data):
+                block = np.frombuffer(
+                    mv[pos : pos + 4 * w], np.uint8
+                ).reshape(w, 4)
+                if not (
+                    (block[:, 0] == 1) & (block[:, 1] == 1)
+                    & (block[:, 2] == 1)
+                ).any():
+                    out[y] = block
+                    pos += 4 * w
+                    continue
             x = 0
             shift = 0
             prev = None
@@ -821,33 +837,41 @@ def encode_hdr(img: np.ndarray) -> bytes:
             continue
         parts.append(bytes((2, 2, w >> 8, w & 0xFF)))
         for ch in range(4):
-            comp = rgbe[y, :, ch]
-            x = 0
-            while x < w:
-                # find the next run of >= 4 identical bytes
-                run = x
-                while run + 3 < w:
-                    if (comp[run] == comp[run + 1] == comp[run + 2]
-                            == comp[run + 3]):
-                        break
-                    run += 1
-                else:
-                    run = w
-                # literals up to the run start
-                lit = x
-                while lit < run:
-                    n = min(128, run - lit)
-                    parts.append(bytes((n,)))
-                    parts.append(comp[lit : lit + n].tobytes())
-                    lit += n
-                x = run
-                if x < w:
-                    n = 1
-                    while x + n < w and n < 127 and comp[x + n] == comp[x]:
-                        n += 1
-                    parts.append(bytes((128 + n, comp[x])))
-                    x += n
+            _rle_component(rgbe[y, :, ch], parts)
     return b"".join(parts)
+
+
+def _rle_component(comp: np.ndarray, parts: list) -> None:
+    """Append new-style RLE packets for one scanline component.
+
+    Run detection is vectorized (equal-neighbor boundaries → segment
+    table); Python-level work is proportional to the number of RUNS plus
+    w/128 literal packets, not to w (a 4K frame encoded in ~33M per-byte
+    iterations before)."""
+    w = comp.size
+    bounds = np.flatnonzero(comp[1:] != comp[:-1]) + 1
+    starts = np.concatenate(([0], bounds, [w]))
+    seg_len = np.diff(starts)
+    run_segs = np.flatnonzero(seg_len >= 4)
+
+    def _literals(lo: int, hi: int) -> None:
+        while lo < hi:
+            n = min(128, hi - lo)
+            parts.append(bytes((n,)))
+            parts.append(comp[lo : lo + n].tobytes())
+            lo += n
+
+    x = 0
+    for i in run_segs:
+        s, e = int(starts[i]), int(starts[i + 1])
+        _literals(x, s)
+        val = int(comp[s])
+        while s < e:
+            n = min(127, e - s)
+            parts.append(bytes((128 + n, val)))
+            s += n
+        x = e
+    _literals(x, w)
 
 
 # ---------------------------------------------------------------- PIC
@@ -991,8 +1015,11 @@ def probe(data: bytes):
     if data[:4] == b"\x53\x80\xf6\x34" and data[88:92] == b"PICT":
         w, h = struct.unpack(">HH", data[92:96])
         check_dims(w, h)
-        pos, has_alpha = 104, False
+        pos, has_alpha, npkt = 104, False, 0
         while True:
+            npkt += 1
+            if npkt > 10:  # same cap as decode_pic
+                raise FormatError("PIC packet list too long")
             chained, _size, _ptype, mask = data[pos : pos + 4]
             pos += 4
             has_alpha = has_alpha or bool(mask & 0x10)
@@ -1000,21 +1027,7 @@ def probe(data: bytes):
                 break
         return ("pic", w, h, 4 if has_alpha else 3, 8)
     if data[:2] in (b"P5", b"P6"):
-        pos, vals = 2, []
-        while len(vals) < 3:
-            while pos < len(data) and data[pos : pos + 1].isspace():
-                pos += 1
-            if pos >= len(data):
-                raise FormatError("truncated PNM header")
-            if data[pos : pos + 1] == b"#":
-                while pos < len(data) and data[pos] != 0x0A:
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(data) and not data[pos : pos + 1].isspace():
-                pos += 1
-            vals.append(int(data[start:pos]))
-        w, h, maxval = vals
+        _, (w, h, maxval) = _pnm_header(data)
         check_dims(w, h)
         return ("pnm", w, h, 1 if data[:2] == b"P5" else 3, 8 if maxval < 256 else 16)
     raise FormatError("unrecognized image container")

@@ -124,10 +124,16 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
             return True
 
     (nv, dv), (nh, dh) = cfg.scale_h, cfg.scale_w
-    # v2 shift-FMA fallback: fused dering for integer upscales
+    # v2 shift-FMA fallback: fused dering for integer upscales — but NOT
+    # drop-edge configs: when the MXU plan is infeasible (VMEM/tile
+    # coverage), PallasOps has no drop-capable kernel and would raise
+    # where auto must fall through to the gather path
+    from lanczos_tpu.core.config import EdgeMode
+
     return (
         cfg.dering
         and cfg.order == Order.HEIGHT_FIRST
+        and cfg.edge_mode != EdgeMode.DROP
         and not cfg.intermediate_quantize
         and dv == 1 and dh == 1 and nv <= 16 and nh <= 16
     )

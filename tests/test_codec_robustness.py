@@ -134,6 +134,26 @@ def test_zero_dims_rejected():
         decode_pnm(b"P6\n0 5\n255\n")
 
 
+def test_pnm_header_truncations_terminate():
+    """Regression: the PNM token walk must terminate on EVERY truncation
+    point (an unguarded walk spins forever when a token or the whitespace
+    after it reaches EOF — found twice by fuzzing, once in decode_pnm16)."""
+    from lanczos_tpu.io.formats import decode_pnm16
+
+    full = b"P5 # comment\n3 2 255\n" + bytes(6)
+    for fn in (decode_pnm, decode_pnm16, probe_image):
+        for cut in range(1, len(full)):
+            try:
+                fn(full[:cut])
+            except ValueError:
+                pass
+    # the exact shapes that previously hung: header ends at EOF
+    for bad in (b"P5 1 1 255", b"P5 1 1", b"P5 ", b"P6 3", b"P5 #x"):
+        for fn in (decode_pnm, decode_pnm16):
+            with pytest.raises(ValueError):
+                fn(bad)
+
+
 def test_unknown_magic_is_valueerror():
     with pytest.raises(ValueError):
         decode_image(b"\x00\x01\x02\x03" * 30)

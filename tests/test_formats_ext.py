@@ -85,7 +85,8 @@ def test_psd_raw_16bit(rng):
     data = _psd_header(3, 5, 7, 16) + struct.pack(">H", 0) + (
         arr16.transpose(2, 0, 1).astype(">u2").tobytes()
     )
-    want = ((arr16.astype(np.uint32) * 255 + 32895) >> 16).astype(np.uint8)
+    # stb's 16->8 narrowing is the high byte (stbi__convert_16_to_8)
+    want = (arr16 >> 8).astype(np.uint8)
     np.testing.assert_array_equal(decode_psd(data), want)
 
 
