@@ -301,8 +301,6 @@ class ShardedUpscaler:
         n, d = cfg.scale_h
         if self.out_h_local % n:
             return
-        if cfg.dering and cfg.edge_mode == EdgeMode.DROP:
-            return
         if (cfg.dering or cfg.intermediate_quantize) and (
             cfg.order != Order.HEIGHT_FIRST
         ):

@@ -155,6 +155,10 @@ def test_sharded_c_faithful_bit_exact(rng, a, scale, hw, mesh_shape):
         ((96, 72), {}),  # rational 3/2
         ((128, 96), dict(edge_mode=EdgeMode.DROP, normalize=True)),
         ((128, 96), dict(dering=True)),
+        # drop-edge dering: the one-hot bounds use the per-shard operator's
+        # clipped indices, so the fusion extends through the mesh (round 3)
+        ((128, 96), dict(edge_mode=EdgeMode.DROP, normalize=False, dering=True)),
+        ((128, 96), dict(edge_mode=EdgeMode.DROP, normalize=True, dering=True)),
         ((128, 96), dict(edge_mode=EdgeMode.REFLECT)),
         ((128, 96), dict(intermediate_quantize=True)),
     ],
