@@ -224,11 +224,36 @@ class Upscaler:
         return clean_resample_2d(img, self.cfg)
 
     def __call__(self, img) -> jnp.ndarray:
-        """img: (H, W, C) or (..., H, W, C); dims must match the config."""
+        """img: (H, W, C) or (..., H, W, C); dims must match the config.
+
+        dtype contract: uint8 → uint8 (the reference's trunc-clip byte
+        cast); uint16 (e.g. from ``io.decode_image_16``) → uint16 via the
+        same semantics at 16-bit width; float → float, linear and
+        unclipped."""
         if img.shape[-3:-1] != tuple(self.cfg.in_shape):
             raise ValueError(
                 f"image spatial dims {img.shape[-3:-1]} != config {self.cfg.in_shape}"
             )
+        if img.dtype in (jnp.uint16, np.uint16):
+            # the backends' integer path quantizes to the uint8 range (the
+            # reference's clamp_to_byte); at 16-bit width run the float
+            # path and apply the same trunc-clip against 65535
+            if (
+                self.cfg.precision == Precision.FIXED
+                or self.cfg.c_faithful
+                or self.backend in ("ref", "c_exact")
+            ):
+                raise ValueError(
+                    "uint16 input is not defined for the bit-exact uint8 "
+                    "semantics profiles (hls/c_oracle); convert explicitly"
+                )
+            fn = (
+                self._float_fallback_fn
+                if self.backend == "pallas"
+                else self._fn
+            )
+            y = fn(jnp.asarray(img, jnp.float32))
+            return jnp.trunc(jnp.clip(y, 0.0, 65535.0)).astype(jnp.uint16)
         if self.backend == "pallas" and img.dtype not in (
             jnp.uint8,
             np.uint8,

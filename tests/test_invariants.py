@@ -89,3 +89,43 @@ def test_channel_counts_and_2d_gray(rng):
     np.testing.assert_array_equal(
         gray, np.asarray(upscale(base[..., :1], scale=(2, 1), a=2))[..., 0]
     )
+
+
+def test_uint16_io_contract(rng):
+    """uint16 in → uint16 out via the float path + 16-bit trunc-clip; the
+    sub-uint8 detail survives and the result tracks the uint8 path."""
+    import numpy as np
+
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    ins = (32, 24)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, ins, scale=(2, 1), a=3)
+    img8 = rng.integers(0, 256, size=(*ins, 3), dtype=np.uint8)
+    img16 = img8.astype(np.uint16) * 257
+    for backend in ("shift_xla", "block", "xla"):
+        up = Upscaler(cfg, backend=backend)
+        out16 = np.asarray(up(img16))
+        assert out16.dtype == np.uint16 and out16.shape == (64, 48, 3)
+        out8 = np.asarray(up(img8)).astype(np.int64)
+        # same pixels at 16-bit width: the two quantizations agree to 1 LSB8
+        d = np.abs(np.rint(out16 / 257.0).astype(np.int64) - out8)
+        assert d.max() <= 1, f"{backend}: max diff {d.max()}"
+    # sub-uint8 detail: a ramp with step 64 (< 257) must not collapse
+    ramp = (np.arange(24, dtype=np.uint16) * 64)[None, :, None]
+    ramp = np.broadcast_to(ramp, (*ins, 3)).copy()
+    out = np.asarray(Upscaler(cfg, backend="shift_xla")(ramp))
+    assert len(np.unique(out[:, :, 0])) > 24  # interpolated sub-steps survive
+
+
+def test_uint16_rejected_on_exact_backends(rng):
+    import numpy as np
+    import pytest
+
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(Profile.HLS, (16, 16), scale=(2, 1), a=2)
+    img16 = rng.integers(0, 65536, size=(16, 16, 3), dtype=np.uint16)
+    with pytest.raises(ValueError, match="uint16"):
+        Upscaler(cfg)(img16)
