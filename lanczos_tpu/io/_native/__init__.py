@@ -15,6 +15,8 @@ _SRC = os.path.join(_HERE, "pngfilter.cpp")
 _SO = os.path.join(_HERE, "libpngfilter.so")
 _JPEG_SRC = os.path.join(_HERE, "jpegdec.cpp")
 _JPEG_SO = os.path.join(_HERE, "libjpegdec.so")
+_LZW_SRC = os.path.join(_HERE, "gif_lzw.cpp")
+_LZW_SO = os.path.join(_HERE, "libgiflzw.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -25,7 +27,7 @@ class _Lib:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
 
-    def __init__(self, cdll: ctypes.CDLL, jpeg_cdll=None):
+    def __init__(self, cdll: ctypes.CDLL, jpeg_cdll=None, lzw_cdll=None):
         self._cdll = cdll
         cdll.png_unfilter.restype = ctypes.c_int
         cdll.png_unfilter.argtypes = [
@@ -46,6 +48,13 @@ class _Lib:
                 ctypes.c_int, ctypes.POINTER(self.u8p), self.i32p,
             ]
             self.jpeg_decode_scan = jpeg_cdll.jpeg_decode_scan
+        if lzw_cdll is not None:
+            lzw_cdll.gif_lzw_decode.restype = ctypes.c_long
+            lzw_cdll.gif_lzw_decode.argtypes = [
+                self.u8p, ctypes.c_long, ctypes.c_int, self.u8p,
+                ctypes.c_long,
+            ]
+            self.gif_lzw_decode = lzw_cdll.gif_lzw_decode
 
 
 def _build_one(src: str, so: str) -> Optional[str]:
@@ -86,8 +95,16 @@ def native_lib() -> Optional[_Lib]:
             jdll = ctypes.CDLL(jpath) if jpath else None
         except OSError:
             jdll = None
+        lpath = (
+            _LZW_SO if os.path.exists(_LZW_SO)
+            else _build_one(_LZW_SRC, _LZW_SO)
+        )
         try:
-            _lib = _Lib(ctypes.CDLL(path), jdll)
+            ldll = ctypes.CDLL(lpath) if lpath else None
+        except OSError:
+            ldll = None
+        try:
+            _lib = _Lib(ctypes.CDLL(path), jdll, ldll)
         except OSError:
             _lib = None
         return _lib

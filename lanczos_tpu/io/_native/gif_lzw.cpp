@@ -1,0 +1,93 @@
+// GIF-flavored LZW decoder — the native fast path for the byte-serial
+// inner loop that NumPy cannot vectorize (same split as pngfilter.cpp /
+// jpegdec.cpp: Python parses the container, C++ runs the bit-serial
+// decode).  Mirrors formats._lzw_decode exactly, including deferred
+// clear codes, the KwKwK case, early-EOI, and truncation handling.
+//
+// Returns the number of pixels decoded (== npixels on success);
+// negative on corrupt streams:
+//   -1  first code after clear is not a literal
+//   -2  code beyond next_code (corrupt dictionary reference)
+// A short (truncated) stream simply returns n_out < npixels, which the
+// Python caller converts to FormatError (same message as the pure path).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" long gif_lzw_decode(const uint8_t *data, long nbytes,
+                               int min_code_size, uint8_t *out,
+                               long npixels) {
+    const int clear = 1 << min_code_size;
+    const int eoi = clear + 1;
+    static thread_local int16_t prefix[4096];
+    static thread_local uint8_t tail[4096];
+    static thread_local uint8_t first[4096];
+    static thread_local uint8_t stack[4097];
+    for (int c = 0; c < clear; ++c) {
+        prefix[c] = -1;
+        tail[c] = first[c] = (uint8_t)c;
+    }
+
+    long bitpos = 0;
+    const long total_bits = nbytes * 8;
+    int code_size = min_code_size + 1;
+    int next_code = eoi + 1;
+    int prev = -1;
+    long n_out = 0;
+
+    while (n_out < npixels) {
+        // read one code (synthetic EOI past the end, like the Python path)
+        int code;
+        if (bitpos + code_size > total_bits) {
+            code = eoi;
+        } else {
+            long byte0 = bitpos >> 3;
+            uint32_t v = data[byte0];
+            if (byte0 + 1 < nbytes) v |= (uint32_t)data[byte0 + 1] << 8;
+            if (byte0 + 2 < nbytes) v |= (uint32_t)data[byte0 + 2] << 16;
+            code = (int)((v >> (bitpos & 7)) & ((1u << code_size) - 1));
+            bitpos += code_size;
+        }
+
+        if (code == clear) {
+            code_size = min_code_size + 1;
+            next_code = eoi + 1;
+            prev = -1;
+            continue;
+        }
+        if (code == eoi) break;
+        if (prev < 0) {
+            if (code >= clear) return -1;
+            out[n_out++] = first[code];
+            prev = code;
+            continue;
+        }
+        int sp = 0;
+        uint8_t new_tail;
+        if (code < next_code) {
+            for (int c = code; c >= 0; c = prefix[c]) stack[sp++] = tail[c];
+            new_tail = stack[sp - 1];
+        } else if (code == next_code) {  // KwKwK
+            stack[sp++] = first[prev];
+            for (int c = prev; c >= 0; c = prefix[c]) stack[sp++] = tail[c];
+            new_tail = stack[sp - 1];
+        } else {
+            return -2;
+        }
+        // stack holds the sequence reversed; emit up to npixels
+        long n = sp;
+        if (n > npixels - n_out) n = npixels - n_out;
+        for (long i = 0; i < n; ++i) out[n_out + i] = stack[sp - 1 - i];
+        n_out += n;
+        if (next_code < 4096) {
+            prefix[next_code] = (int16_t)prev;
+            tail[next_code] = new_tail;
+            first[next_code] = first[prev];
+            ++next_code;
+            if (next_code == (1 << code_size) && code_size < 12)
+                ++code_size;
+        }
+        prev = code;
+    }
+    return n_out;
+}

