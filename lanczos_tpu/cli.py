@@ -62,7 +62,23 @@ def main(argv=None) -> int:
                    help="skip the oracle comparison print")
     p.add_argument("--bench", type=int, default=0, metavar="N",
                    help="time N device iterations and print Mpix/s")
+    p.add_argument("--info", action="store_true",
+                   help="print the image header (stbi_info analog) and exit")
     args = p.parse_args(argv)
+
+    if args.info:
+        from lanczos_tpu.io import probe_image
+
+        with open(args.input, "rb") as f:
+            data = f.read()
+        tga = args.input.lower().endswith((".tga", ".icb", ".vda", ".vst"))
+        info = probe_image(data, tga=tga)
+        print(
+            f"{args.input}: {info.format} {info.width}x{info.height} "
+            f"{info.channels}ch {info.bits}-bit"
+            + (" (hdr)" if info.is_hdr else "")
+        )
+        return 0
 
     if args.backend == "c_exact" and args.profile != "c_oracle":
         p.error("--backend c_exact implements the c_oracle semantics; "

@@ -47,3 +47,16 @@ def test_cli_rgba_and_gray(tmp_path, rng):
     assert main([str(src2), str(tmp_path / "o2.png"), "--scale", "2",
                  "--no-psnr"]) == 0
     assert read_png(tmp_path / "o2.png").shape == (32, 32, 3)
+
+
+def test_cli_info(tmp_path, capsys):
+    import numpy as np
+
+    from lanczos_tpu.cli import main
+    from lanczos_tpu.io import write_image
+
+    p = tmp_path / "x.png"
+    write_image(p, np.zeros((12, 34, 3), np.uint8))
+    assert main([str(p), "--info"]) == 0
+    out = capsys.readouterr().out
+    assert "png 34x12 3ch 8-bit" in out
