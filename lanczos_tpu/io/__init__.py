@@ -171,26 +171,34 @@ def convert_channels(img: np.ndarray, channels: int) -> np.ndarray:
     return np.concatenate([rgb, a], axis=2)
 
 
-def read_image(path) -> np.ndarray:
-    """stbi_load equivalent: load an image file as (H, W, C) uint8."""
+def read_image(path, flip_vertical: bool = False) -> np.ndarray:
+    """stbi_load equivalent: load an image file as (H, W, C) uint8.
+
+    ``flip_vertical`` is the ``stbi_set_flip_vertically_on_load`` analog
+    (bottom row first, the OpenGL texture convention) — an explicit
+    argument instead of stb's process-global flag."""
     with open(path, "rb") as f:
         data = f.read()
     if str(path).lower().endswith((".tga", ".icb", ".vda", ".vst")):
         from lanczos_tpu.io import formats
 
-        return formats.decode_tga(data)
-    return decode_image(data)
+        img = formats.decode_tga(data)
+    else:
+        img = decode_image(data)
+    return np.ascontiguousarray(img[::-1]) if flip_vertical else img
 
 
-def read_image_16(path) -> np.ndarray:
+def read_image_16(path, flip_vertical: bool = False) -> np.ndarray:
     """``stbi_load_16`` file variant: (H, W, C) uint16."""
     with open(path, "rb") as f:
         data = f.read()
     if str(path).lower().endswith((".tga", ".icb", ".vda", ".vst")):
         from lanczos_tpu.io import formats
 
-        return formats.decode_tga(data).astype(np.uint16) * 257
-    return decode_image_16(data)
+        img = formats.decode_tga(data).astype(np.uint16) * 257
+    else:
+        img = decode_image_16(data)
+    return np.ascontiguousarray(img[::-1]) if flip_vertical else img
 
 
 def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
@@ -219,9 +227,13 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
     raise ValueError(f"unsupported image write format {format!r}")
 
 
-def write_image(path, img: np.ndarray, **kw) -> None:
+def write_image(path, img: np.ndarray, flip_vertical: bool = False, **kw) -> None:
     """stbi_write_* equivalent: save (H, W[, C]) uint8, format from the
-    file extension (png/jpg/jpeg/bmp/tga/hdr/pnm/ppm/pgm)."""
+    file extension (png/jpg/jpeg/bmp/tga/hdr/pnm/ppm/pgm).
+
+    ``flip_vertical`` is the ``stbi_flip_vertically_on_write`` analog."""
+    if flip_vertical:
+        img = np.ascontiguousarray(np.asarray(img)[::-1])
     ext = str(path).rsplit(".", 1)[-1] if "." in str(path) else ""
     data = encode_image(img, ext, **kw)
     with open(path, "wb") as f:

@@ -317,3 +317,23 @@ def test_convert_uint16_and_identity(rng):
     # 2-D input is treated as single-channel
     out = convert_channels(np.zeros((3, 3), np.uint8), 3)
     assert out.shape == (3, 3, 3)
+
+
+def test_flip_vertical_load_and_write(tmp_path, rng):
+    """stbi_set_flip_vertically_on_load / stbi_flip_vertically_on_write
+    analogs: explicit arguments instead of process-global flags."""
+    from lanczos_tpu.io import read_image, write_image
+
+    arr = _rgb(rng, 9, 7)
+    p = tmp_path / "x.png"
+    write_image(p, arr)
+    np.testing.assert_array_equal(read_image(p, flip_vertical=True), arr[::-1])
+    write_image(p, arr, flip_vertical=True)
+    np.testing.assert_array_equal(read_image(p), arr[::-1])
+    # round trip: both flips cancel
+    write_image(p, arr, flip_vertical=True)
+    np.testing.assert_array_equal(read_image(p, flip_vertical=True), arr)
+    # 16-bit variant
+    np.testing.assert_array_equal(
+        read_image_16(p, flip_vertical=True), arr.astype(np.uint16) * 257
+    )
