@@ -9,8 +9,10 @@ followed by ``FRAME\\n``-delimited raw planar YCbCr frames — exactly the
 planar layout the TPU kernels prefer, so frames go from file to the
 fused MXU kernel with zero relayout.
 
-Scope: 8-bit C420 (all chroma-siting variants: 420jpeg/420mpeg2/420paldv),
-C422, C444, and Cmono.  Interlaced files and >8-bit depths raise.
+Scope: C420 (all chroma-siting variants: 420jpeg/420mpeg2/420paldv),
+C422, C444, and Cmono at 8 bits, plus the p10/p12/p14/p16 deep variants
+(little-endian uint16 planes, e.g. C420p10 — the ffmpeg/x264 convention).
+Interlaced files raise.
 """
 
 from __future__ import annotations
@@ -68,8 +70,30 @@ class Y4MHeader:
     extensions: Tuple[str, ...] = ()
 
     @property
+    def base_colorspace(self) -> str:
+        """Colorspace tag without the pNN depth suffix (e.g. 420p10 → 420)."""
+        cs = self.colorspace
+        for suf in ("p10", "p12", "p14", "p16"):
+            if cs.endswith(suf):
+                return cs[: -len(suf)]
+        return cs
+
+    @property
+    def bit_depth(self) -> int:
+        cs = self.colorspace
+        for suf in ("p10", "p12", "p14", "p16"):
+            if cs.endswith(suf):
+                return int(suf[1:])
+        return 8
+
+    @property
+    def sample_dtype(self) -> np.dtype:
+        """uint8 for 8-bit streams, little-endian uint16 for deep ones."""
+        return np.dtype(np.uint8 if self.bit_depth == 8 else "<u2")
+
+    @property
     def chroma_shape(self) -> Optional[Tuple[int, int]]:
-        div = _COLORSPACES[self.colorspace]
+        div = _COLORSPACES[self.base_colorspace]
         if div is None:
             return None
         dh, dw = div
@@ -79,7 +103,8 @@ class Y4MHeader:
     def frame_bytes(self) -> int:
         n = self.width * self.height
         c = self.chroma_shape
-        return n if c is None else n + 2 * c[0] * c[1]
+        n = n if c is None else n + 2 * c[0] * c[1]
+        return n * (1 if self.bit_depth == 8 else 2)
 
     def tag_line(self) -> bytes:
         parts = [
@@ -130,12 +155,16 @@ def parse_header(line: bytes) -> Y4MHeader:
         raise Y4MError("y4m header missing W/H")
     if interlace not in ("p", "?"):
         raise Y4MError(f"interlaced y4m (I{interlace}) unsupported")
-    base = cs.split("p")[0] if cs.endswith(("p10", "p12", "p14", "p16")) else cs
-    if base != cs:
-        raise Y4MError(f"{cs}: >8-bit y4m unsupported")
-    if cs not in _COLORSPACES:
+    base = cs
+    for suf in ("p10", "p12", "p14", "p16"):
+        if cs.endswith(suf):
+            base = cs[: -len(suf)]
+            break
+    if base not in _COLORSPACES:
         raise Y4MError(f"colorspace C{cs} unsupported")
-    div = _COLORSPACES[cs]
+    if base != cs and _COLORSPACES[base] is None:
+        raise Y4MError(f"colorspace C{cs} unsupported (deep mono)")
+    div = _COLORSPACES[base]
     if div is not None and (h % div[0] or w % div[1]):
         raise Y4MError(f"dims {w}x{h} not divisible for C{cs}")
     return Y4MHeader(w, h, fps, interlace, aspect, cs, tuple(ext))
@@ -190,14 +219,16 @@ class Y4MReader:
             raw = _read_exact(self._f, hdr.frame_bytes)
             if len(raw) != hdr.frame_bytes:
                 raise Y4MError("truncated y4m frame")
-            y = np.frombuffer(raw, np.uint8, h * w).reshape(h, w)
+            dt = hdr.sample_dtype
+            nb = dt.itemsize
+            y = np.frombuffer(raw, dt, h * w).reshape(h, w)
             if cshape is None:
                 yield (y,)
                 continue
             ch_, cw = cshape
             n, m = h * w, ch_ * cw
-            cb = np.frombuffer(raw, np.uint8, m, n).reshape(ch_, cw)
-            cr = np.frombuffer(raw, np.uint8, m, n + m).reshape(ch_, cw)
+            cb = np.frombuffer(raw, dt, m, n * nb).reshape(ch_, cw)
+            cr = np.frombuffer(raw, dt, m, (n + m) * nb).reshape(ch_, cw)
             yield (y, cb, cr)
 
     def close(self):
@@ -238,8 +269,16 @@ class Y4MWriter:
             raise Y4MError(f"C{hdr.colorspace} frame needs {want} planes")
         shapes = [(hdr.height, hdr.width)] + ([cshape] * 2 if cshape else [])
         self._f.write(b"FRAME\n")
+        dt = hdr.sample_dtype
+        limit = (1 << hdr.bit_depth) - 1
         for plane, shape in zip(frame, shapes):
-            plane = np.ascontiguousarray(plane, np.uint8)
+            plane = np.asarray(plane)
+            if hdr.bit_depth > 8 and plane.max(initial=0) > limit:
+                raise Y4MError(
+                    f"sample exceeds {hdr.bit_depth}-bit range of "
+                    f"C{hdr.colorspace}"
+                )
+            plane = np.ascontiguousarray(plane, dt)
             if plane.shape != tuple(shape):
                 raise Y4MError(f"plane shape {plane.shape} != {shape}")
             self._f.write(plane.tobytes())
@@ -256,12 +295,21 @@ class Y4MWriter:
 
 
 def write_y4m(dst, frames, fps=(25, 1), colorspace: Optional[str] = None):
-    """Write frames ((Y,) or (Y, Cb, Cr) uint8 plane tuples) as .y4m."""
+    """Write frames ((Y,) or (Y, Cb, Cr) plane tuples) as .y4m.
+
+    uint8 planes infer an 8-bit colorspace from the chroma ratio; uint16
+    planes need an explicit deep ``colorspace`` (e.g. ``"420p10"``) since
+    the bit depth cannot be inferred from the dtype."""
     frames = list(frames)
     if not frames:
         raise Y4MError("no frames")
     f0 = frames[0]
     h, w = f0[0].shape
+    if colorspace is None and np.asarray(f0[0]).dtype != np.uint8:
+        raise Y4MError(
+            "deep (uint16) planes need an explicit colorspace= (e.g. "
+            "'420p10'/'444p16'); the depth is not inferable from the dtype"
+        )
     if colorspace is None:
         if len(f0) == 1:
             colorspace = "mono"

@@ -293,6 +293,11 @@ class Upscaler:
             raise ValueError(
                 f"image spatial dims {img.shape[-2:]} != config {self.cfg.in_shape}"
             )
+        if img.dtype not in (jnp.uint8, np.uint8):
+            # uint16 / float planes take the dtype contract in __call__
+            # (the pallas planar kernel is uint8-native)
+            moved = jnp.moveaxis(img, -3, -1)
+            return jnp.moveaxis(self(moved), -1, -3)
         fn = self._planar_fn
         if fn is not None:
             return fn(img)

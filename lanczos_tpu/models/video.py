@@ -197,13 +197,26 @@ def upscale_y4m(
             def drain(item):
                 n, outs = item
                 host = [np.asarray(o) for o in outs]
-                # the ref backend returns unquantized floats; match the
-                # device paths' trunc-clip byte cast before writing
-                host = [
-                    h if h.dtype == np.uint8
-                    else np.trunc(np.clip(h, 0, 255)).astype(np.uint8)
-                    for h in host
-                ]
+                if hdr.bit_depth > 8:
+                    # deep streams: the uint16 dtype contract clips at
+                    # 65535, but the stream's legal range is 2^depth−1 —
+                    # clamp the Lanczos overshoot to it (the 8-bit path's
+                    # clamp_to_byte at stream width)
+                    lim = (1 << hdr.bit_depth) - 1
+                    host = [
+                        np.minimum(
+                            np.trunc(np.clip(h, 0, lim)), lim
+                        ).astype(np.uint16)
+                        for h in host
+                    ]
+                else:
+                    # the ref backend returns unquantized floats; match the
+                    # device paths' trunc-clip byte cast before writing
+                    host = [
+                        h if h.dtype == np.uint8
+                        else np.trunc(np.clip(h, 0, 255)).astype(np.uint8)
+                        for h in host
+                    ]
                 for k in range(n):
                     planes = (host[0][k, 0],)
                     if len(host) > 1:

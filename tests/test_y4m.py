@@ -65,8 +65,8 @@ def test_header_parsing():
         parse_header(b"NOTY4M W2 H2")
     with pytest.raises(Y4MError):
         parse_header(b"YUV4MPEG2 W640 H480 It")  # interlaced
-    with pytest.raises(Y4MError):
-        parse_header(b"YUV4MPEG2 W640 H480 C420p10")  # >8 bit
+    hdr10 = parse_header(b"YUV4MPEG2 W640 H480 C420p10")  # deep: supported
+    assert hdr10.bit_depth == 10 and hdr10.sample_dtype == np.dtype("<u2")
     with pytest.raises(Y4MError):
         parse_header(b"YUV4MPEG2 W641 H480 C420jpeg")  # odd width for 420
 
@@ -230,3 +230,78 @@ def test_cli_c_exact_requires_c_oracle_profile(rng, tmp_path):
     write_png(str(src), rng.integers(0, 256, (8, 8, 3), np.uint8))
     with pytest.raises(SystemExit):
         main([str(src), "--backend", "c_exact", "--profile", "precise"])
+
+
+# ------------------------------------------------------------ deep (10-bit+)
+
+
+def test_deep_header_and_roundtrip(rng):
+    from lanczos_tpu.io.y4m import Y4MHeader, parse_header, read_y4m, write_y4m
+
+    hdr = parse_header(b"YUV4MPEG2 W8 H6 F30:1 Ip C420p10")
+    assert hdr.bit_depth == 10 and hdr.base_colorspace == "420"
+    assert hdr.frame_bytes == (8 * 6 + 2 * 4 * 3) * 2
+
+    frames = []
+    for _ in range(3):
+        y = rng.integers(0, 1024, size=(6, 8), dtype=np.uint16)
+        cb = rng.integers(0, 1024, size=(3, 4), dtype=np.uint16)
+        cr = rng.integers(0, 1024, size=(3, 4), dtype=np.uint16)
+        frames.append((y, cb, cr))
+    buf = io.BytesIO()
+    write_y4m(buf, frames, colorspace="420p10")
+    buf.seek(0)
+    hdr2, got = read_y4m(buf)
+    assert hdr2.colorspace == "420p10" and len(got) == 3
+    for a, b in zip(frames, got):
+        for pa, pb in zip(a, b):
+            assert pb.dtype == np.uint16
+            np.testing.assert_array_equal(pa, pb)
+
+
+def test_deep_validation(rng):
+    from lanczos_tpu.io.y4m import Y4MError, parse_header, write_y4m
+
+    with pytest.raises(Y4MError, match="unsupported"):
+        parse_header(b"YUV4MPEG2 W8 H6 Cmonop10")
+    y = rng.integers(0, 1024, size=(6, 8), dtype=np.uint16)
+    with pytest.raises(Y4MError, match="explicit colorspace"):
+        write_y4m(io.BytesIO(), [(y,)])  # depth not inferable
+    big = np.full((6, 8), 2000, np.uint16)  # > 10-bit range
+    small = np.zeros((3, 4), np.uint16)
+    with pytest.raises(Y4MError, match="exceeds"):
+        write_y4m(io.BytesIO(), [(big, small, small)], colorspace="420p10")
+
+
+def test_upscale_y4m_deep(tmp_path, rng):
+    from lanczos_tpu.io.y4m import read_y4m, write_y4m
+    from lanczos_tpu.models.video import upscale_y4m
+
+    h, w = 16, 12
+    frames = []
+    for _ in range(2):
+        y = rng.integers(0, 1024, size=(h, w), dtype=np.uint16)
+        cb = rng.integers(0, 1024, size=(h // 2, w // 2), dtype=np.uint16)
+        cr = rng.integers(0, 1024, size=(h // 2, w // 2), dtype=np.uint16)
+        frames.append((y, cb, cr))
+    src, dst = tmp_path / "in.y4m", tmp_path / "out.y4m"
+    write_y4m(str(src), frames, colorspace="420p10")
+    hdr = upscale_y4m(str(src), str(dst), scale=(2, 1), a=2, batch=2)
+    assert hdr.colorspace == "420p10" and (hdr.width, hdr.height) == (24, 32)
+    hdr2, out = read_y4m(str(dst))
+    assert len(out) == 2
+    for fr in out:
+        assert fr[0].shape == (32, 24) and fr[0].dtype == np.uint16
+        assert fr[0].max() <= 1023  # overshoot clamped to the 10-bit range
+        assert fr[1].shape == (16, 12)
+    # the luma plane tracks an independent uint16-contract upscale
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (h, w), scale=(2, 1), a=2, channels=1
+    )
+    want = np.asarray(Upscaler(cfg)(frames[0][0][..., None]))[..., 0]
+    np.testing.assert_array_equal(
+        out[0][0], np.minimum(want, 1023).astype(np.uint16)
+    )
