@@ -48,6 +48,20 @@ class _Lib:
                 ctypes.c_int, ctypes.POINTER(self.u8p), self.i32p,
             ]
             self.jpeg_decode_scan = jpeg_cdll.jpeg_decode_scan
+            jpeg_cdll.jpeg_decode_prog_scan.restype = ctypes.c_int
+            jpeg_cdll.jpeg_decode_prog_scan.argtypes = [
+                self.u8p, ctypes.c_long, ctypes.c_int, self.i32p,
+                self.i32p, self.i32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(self.i32p),
+            ]
+            self.jpeg_decode_prog_scan = jpeg_cdll.jpeg_decode_prog_scan
+            jpeg_cdll.jpeg_finish_prog.restype = ctypes.c_int
+            jpeg_cdll.jpeg_finish_prog.argtypes = [
+                self.i32p, self.i32p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, self.u8p, ctypes.c_long,
+            ]
+            self.jpeg_finish_prog = jpeg_cdll.jpeg_finish_prog
         if lzw_cdll is not None:
             lzw_cdll.gif_lzw_decode.restype = ctypes.c_long
             lzw_cdll.gif_lzw_decode.argtypes = [
@@ -84,21 +98,25 @@ def native_lib() -> Optional[_Lib]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _SO if os.path.exists(_SO) else _build()
+
+        def fresh(src_path: str, so_path: str):
+            """Reuse the built .so only when it is newer than its source
+            (a stale artifact would silently miss new symbols)."""
+            if os.path.exists(so_path) and (
+                os.path.getmtime(so_path) >= os.path.getmtime(src_path)
+            ):
+                return so_path
+            return _build_one(src_path, so_path)
+
+        path = fresh(_SRC, _SO)
         if path is None:
             return None
-        jpath = (
-            _JPEG_SO if os.path.exists(_JPEG_SO)
-            else _build_one(_JPEG_SRC, _JPEG_SO)
-        )
+        jpath = fresh(_JPEG_SRC, _JPEG_SO)
         try:
             jdll = ctypes.CDLL(jpath) if jpath else None
         except OSError:
             jdll = None
-        lpath = (
-            _LZW_SO if os.path.exists(_LZW_SO)
-            else _build_one(_LZW_SRC, _LZW_SO)
-        )
+        lpath = fresh(_LZW_SRC, _LZW_SO)
         try:
             ldll = ctypes.CDLL(lpath) if lpath else None
         except OSError:

@@ -194,7 +194,7 @@ extern "C" int jpeg_decode_scan(
           for (int bx = 0; bx < H; bx++) {
             std::memset(coef, 0, sizeof(coef));
             int t = dc.decode(br);
-            if (t < 0) return -3;
+            if (t < 0 || t > 15) return -3;  // DC magnitude is <= 15 bits
             int diff = t ? extend(br.get_bits(t), t) : 0;
             pred[ci] += diff;
             coef[0] = (float)(pred[ci] * qt[0]);
@@ -227,6 +227,197 @@ extern "C" int jpeg_decode_scan(
               }
             }
           }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Progressive (SOF2) support — T.81 Annex G.  Coefficients accumulate across
+// scans in per-component int32 buffers, one 64-entry ZIGZAG-ordered block per
+// 8x8 block on the MCU-padded grid; jpeg_finish_prog dequantizes + IDCTs once
+// all scans have been applied.  stb_image decodes progressive (the reference
+// ingests such files through it), so this closes that parity gap.
+
+extern "C" int jpeg_decode_prog_scan(
+    const uint8_t* entropy, long entropy_len,
+    int ncomp_scan,
+    const int32_t* scomp,       // per scan comp (8 ints):
+                                //   H, V, dc_tbl, ac_tbl,
+                                //   grid_w (padded stride, blocks),
+                                //   bw, bh (component's true block dims),
+                                //   unused
+    const int32_t* huff_counts, // (8, 16)  tables 0-3 DC, 4-7 AC
+    const int32_t* huff_values, // (8, 256)
+    int mcu_cols, int mcu_rows,
+    int restart_interval,
+    int Ss, int Se, int Ah, int Al,
+    int32_t** coeffs            // ncomp_scan pointers, each block grid
+) {
+  Huff tables[8];
+  for (int t = 0; t < 8; t++)
+    tables[t].build(huff_counts + t * 16, huff_values + t * 256);
+
+  BitReader br(entropy, entropy_len);
+  int pred[4] = {0, 0, 0, 0};
+  long eobrun = 0;
+  long unit_count = 0;
+
+  // one 8x8 block of one component, at zigzag-ordered coef pointer
+  auto decode_dc = [&](int ci, int32_t* c) -> int {
+    if (Ah == 0) {  // first DC scan
+      const Huff& dc = tables[scomp[ci * 8 + 2]];
+      int t = dc.decode(br);
+      if (t < 0 || t > 15) return -3;  // DC magnitude is <= 15 bits
+      int diff = t ? extend(br.get_bits(t), t) : 0;
+      pred[ci] += diff;
+      c[0] = pred[ci] << Al;
+    } else {  // DC refinement: one appended bit
+      if (br.get_bits(1)) c[0] |= (1 << Al);
+    }
+    return 0;
+  };
+
+  auto decode_ac = [&](int ci, int32_t* c) -> int {
+    const Huff& ac = tables[4 + scomp[ci * 8 + 3]];
+    if (Ah == 0) {  // first AC scan for this band
+      if (eobrun > 0) { eobrun--; return 0; }
+      int k = Ss;
+      while (k <= Se) {
+        int rs = ac.decode(br);
+        if (rs < 0) return -4;
+        int r = rs >> 4, s = rs & 15;
+        if (s == 0) {
+          if (r < 15) {  // EOBn
+            eobrun = (1L << r) - 1;
+            if (r) eobrun += br.get_bits(r);
+            break;
+          }
+          k += 16;  // ZRL
+        } else {
+          k += r;
+          if (k > Se) return -5;
+          c[k] = extend(br.get_bits(s), s) * (1 << Al);
+          k++;
+        }
+      }
+    } else {  // AC refinement (G.1.2.3)
+      int bit = 1 << Al;
+      int k = Ss;
+      if (eobrun == 0) {
+        while (k <= Se) {
+          int rs = ac.decode(br);
+          if (rs < 0) return -4;
+          int r = rs >> 4, s = rs & 15;
+          int newval = 0;
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1L << r);
+              if (r) eobrun += br.get_bits(r);
+              break;  // remainder handled by the eobrun pass below
+            }
+            // r == 15: advance past 16 zero-history coefficients
+          } else {
+            if (s != 1) return -6;  // refinement magnitudes are 1 bit
+            newval = br.get_bits(1) ? bit : -bit;
+          }
+          while (k <= Se) {
+            int32_t& cv = c[k];
+            if (cv != 0) {
+              // correction bit for every nonzero-history coefficient
+              if (br.get_bits(1) && (cv & bit) == 0)
+                cv += (cv > 0) ? bit : -bit;
+            } else {
+              if (r == 0) {
+                if (s) c[k] = newval;
+                k++;
+                break;
+              }
+              r--;
+            }
+            k++;
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // within an EOB run only correction bits are coded
+        while (k <= Se) {
+          int32_t& cv = c[k];
+          if (cv != 0 && br.get_bits(1) && (cv & bit) == 0)
+            cv += (cv > 0) ? bit : -bit;
+          k++;
+        }
+        eobrun--;
+      }
+    }
+    return 0;
+  };
+
+  auto maybe_restart = [&]() -> int {
+    if (restart_interval && unit_count && unit_count % restart_interval == 0) {
+      if (!br.restart()) return -2;
+      pred[0] = pred[1] = pred[2] = pred[3] = 0;
+      eobrun = 0;
+    }
+    unit_count++;
+    return 0;
+  };
+
+  if (ncomp_scan > 1) {
+    // interleaved scan: DC only (T.81 G.1.1.1.1), MCU order
+    if (Ss != 0) return -7;
+    for (int my = 0; my < mcu_rows; my++)
+      for (int mx = 0; mx < mcu_cols; mx++) {
+        int rc = maybe_restart();
+        if (rc) return rc;
+        for (int ci = 0; ci < ncomp_scan; ci++) {
+          int H = scomp[ci * 8 + 0], V = scomp[ci * 8 + 1];
+          int gw = scomp[ci * 8 + 4];
+          for (int by = 0; by < V; by++)
+            for (int bx = 0; bx < H; bx++) {
+              long bi = (long)(my * V + by) * gw + (mx * H + bx);
+              rc = decode_dc(ci, coeffs[ci] + bi * 64);
+              if (rc) return rc;
+            }
+        }
+      }
+  } else {
+    // non-interleaved: the component's own block raster (no MCU padding)
+    int gw = scomp[4], bw = scomp[5], bh = scomp[6];
+    for (int by = 0; by < bh; by++)
+      for (int bx = 0; bx < bw; bx++) {
+        int rc = maybe_restart();
+        if (rc) return rc;
+        int32_t* c = coeffs[0] + ((long)by * gw + bx) * 64;
+        rc = Ss == 0 ? decode_dc(0, c) : decode_ac(0, c);
+        if (rc) return rc;
+      }
+  }
+  return 0;
+}
+
+extern "C" int jpeg_finish_prog(
+    const int32_t* coeff,   // (blocks_h * grid_w) blocks, zigzag order
+    const int32_t* qt,      // 64, zigzag order
+    int grid_w, int blocks_w, int blocks_h,
+    uint8_t* plane, long stride
+) {
+  float coefs[64], pix[64];
+  for (int by = 0; by < blocks_h; by++) {
+    for (int bx = 0; bx < blocks_w; bx++) {
+      const int32_t* c = coeff + ((long)by * grid_w + bx) * 64;
+      std::memset(coefs, 0, sizeof(coefs));
+      for (int k = 0; k < 64; k++)
+        coefs[kZigzag[k]] = (float)(c[k] * qt[k]);
+      idct8x8(coefs, pix);
+      for (int y = 0; y < 8; y++) {
+        uint8_t* row = plane + (long)(by * 8 + y) * stride + bx * 8;
+        for (int x = 0; x < 8; x++) {
+          float v = pix[y * 8 + x] + 128.0f;
+          int iv = (int)std::lround(v);
+          row[x] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
         }
       }
     }

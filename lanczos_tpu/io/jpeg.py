@@ -11,9 +11,11 @@ shipped PNG only.  This module closes the gap for baseline JPEG:
 - chroma upsampling uses libjpeg-style triangle ("fancy") interpolation
   and the standard YCbCr→RGB conversion, vectorized in NumPy.
 
-Scope: baseline DCT (SOF0), single interleaved scan, grayscale or YCbCr
-(any sampling factors incl. 4:2:0/4:2:2), restart markers.  Progressive
-(SOF2) and arithmetic coding raise.
+Scope: baseline DCT (SOF0/1, single interleaved scan) AND progressive
+(SOF2, spectral selection + successive approximation, T.81 Annex G —
+coefficients accumulate across scans in C++ and a final native pass
+dequantizes + IDCTs), grayscale or YCbCr (any sampling factors incl.
+4:2:0/4:2:2), restart markers.  Arithmetic coding and lossless raise.
 """
 
 from __future__ import annotations
@@ -61,9 +63,8 @@ def _triangle_upsample_axis(p: np.ndarray, factor: int, axis: int, size: int):
 def probe(data: bytes):
     """Header-only probe (stbi_info analog) → ``(w, h, channels, bits)``.
 
-    Walks the marker stream to the first SOFn (any DCT frame type, so
-    progressive files report dimensions even though :func:`decode` is
-    baseline-only, matching ``stbi__jpeg_info``)."""
+    Walks the marker stream to the first SOFn (any DCT frame type,
+    matching ``stbi__jpeg_info``)."""
     if data[:2] != b"\xff\xd8":
         raise JPEGError("not a JPEG (missing SOI)")
     pos, n = 2, len(data)
@@ -99,6 +100,7 @@ def decode(data: bytes) -> np.ndarray:
     hc = np.zeros((8, 16), np.int32)  # 0-3 DC, 4-7 AC
     hv = np.zeros((8, 256), np.int32)
     frame = None
+    progressive = False
     restart = 0
     pos = 2
     n = len(data)
@@ -141,30 +143,46 @@ def decode(data: bytes) -> np.ndarray:
                 t = (0 if tc == 0 else 4) + th
                 hc[t] = counts
                 hv[t, :total] = vals
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline / ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             depth, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if depth != 8:
                 raise JPEGError(f"unsupported sample precision {depth}")
+            if not (1 <= nc <= 4):
+                raise JPEGError(f"component count {nc} out of range")
             comps = {}
             for i in range(nc):
                 cid, hvb, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps[cid] = (hvb >> 4, hvb & 15, tq)
+                ch, cv = hvb >> 4, hvb & 15
+                if not (1 <= ch <= 4 and 1 <= cv <= 4 and tq <= 3):
+                    raise JPEGError(
+                        f"component {cid}: bad sampling/table ({ch},{cv},{tq})"
+                    )
+                comps[cid] = (ch, cv, tq)
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JPEGError(
                 f"unsupported JPEG type (marker 0xFF{marker:02X}); "
-                "baseline (SOF0) only"
+                "baseline (SOF0/1) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JPEGError("SOS before SOF")
+            if progressive:
+                return _decode_progressive(
+                    lib, data, pos, frame, quant, hc, hv, restart
+                )
             ns = body[0]
+            if not (1 <= ns <= 4):
+                raise JPEGError(f"scan component count {ns} out of range")
             scan = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                if (tt >> 4) > 3 or (tt & 15) > 3:
+                    raise JPEGError(f"bad huffman table selector {tt:#x}")
                 scan.append((cid, tt >> 4, tt & 15))
             entropy_start = pos + 2 + seglen
             return _decode_scan(
@@ -172,6 +190,133 @@ def decode(data: bytes) -> np.ndarray:
             )
         pos += 2 + seglen
     raise JPEGError("no SOS marker found")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Index of the next real marker at/after ``pos`` (skipping entropy
+    bytes, stuffed 0xFF00, and RST0-7, which belong to the scan).
+    Vectorized — a Python byte walk here dominated progressive decode."""
+    buf = np.frombuffer(data, np.uint8)
+    ff = np.flatnonzero(buf[pos : len(buf) - 1] == 0xFF) + pos
+    if ff.size:
+        nxt = buf[ff + 1]
+        real = (nxt != 0x00) & (nxt != 0xFF) & ~((nxt >= 0xD0) & (nxt <= 0xD7))
+        hits = np.flatnonzero(real)
+        if hits.size:
+            return int(ff[hits[0]])
+    return len(data)
+
+
+def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart):
+    """SOF2: accumulate spectral-selection / successive-approximation scans
+    into per-component coefficient grids (T.81 Annex G), then dequantize +
+    IDCT once (``jpeg_finish_prog``).  ``pos`` points at the first SOS
+    marker; DHT/DRI between scans are honored."""
+    if lib is None or not hasattr(lib, "jpeg_decode_prog_scan"):
+        raise JPEGError("native jpeg decoder unavailable (no g++)")
+    h, w, comps = frame
+    hmax = max(c[0] for c in comps.values())
+    vmax = max(c[1] for c in comps.values())
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+
+    geom = {}
+    coeff = {}
+    for cid, (ch, cv, tq) in comps.items():
+        gw, gh = mcu_cols * ch, mcu_rows * cv
+        bw = -(-(-(-w * ch // hmax)) // 8)
+        bh = -(-(-(-h * cv // vmax)) // 8)
+        geom[cid] = (gw, gh, bw, bh)
+        coeff[cid] = np.zeros(gh * gw * 64, np.int32)
+
+    n = len(data)
+    saw_scan = False
+    while pos + 4 <= n:
+        marker = data[pos + 1]
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xC4:  # DHT between scans
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                b += 1
+                counts = np.frombuffer(body[b : b + 16], np.uint8)
+                b += 16
+                total = int(counts.sum())
+                vals = np.frombuffer(body[b : b + total], np.uint8)
+                b += total
+                t = (0 if tc == 0 else 4) + th
+                hc[t] = counts
+                hv[t, :total] = 0
+                hv[t, :total] = vals
+            pos += 2 + seglen
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+            pos += 2 + seglen
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if not (1 <= ns <= 4):
+                raise JPEGError(f"scan component count {ns} out of range")
+            scomp = np.zeros((ns, 8), np.int32)
+            ptrs = (lib.i32p * ns)()
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                if cid not in comps:
+                    raise JPEGError(f"scan references unknown component {cid}")
+                if (tt >> 4) > 3 or (tt & 15) > 3:
+                    raise JPEGError(f"bad huffman table selector {tt:#x}")
+                ch, cv, _tq = comps[cid]
+                gw, _gh, bw, bh = geom[cid]
+                scomp[i] = (ch, cv, tt >> 4, tt & 15, gw, bw, bh, 0)
+                ptrs[i] = coeff[cid].ctypes.data_as(lib.i32p)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if not (ss <= se <= 63 and (ahal >> 4) <= 13 and (ahal & 15) <= 13):
+                raise JPEGError(
+                    f"bad spectral/approximation range Ss={ss} Se={se} "
+                    f"AhAl={ahal:#x}"
+                )
+            if ns > 1 and ss != 0:
+                raise JPEGError("interleaved progressive AC scan is illegal")
+            entropy_start = pos + 2 + seglen
+            end = _next_marker(data, entropy_start)
+            entropy = np.frombuffer(data[entropy_start:end], np.uint8)
+            rc = lib.jpeg_decode_prog_scan(
+                entropy.ctypes.data_as(lib.u8p), entropy.size, ns,
+                np.ascontiguousarray(scomp).ctypes.data_as(lib.i32p),
+                np.ascontiguousarray(hc).ctypes.data_as(lib.i32p),
+                np.ascontiguousarray(hv).ctypes.data_as(lib.i32p),
+                mcu_cols, mcu_rows, restart,
+                int(ss), int(se), ahal >> 4, ahal & 15, ptrs,
+            )
+            if rc != 0:
+                raise JPEGError(f"progressive scan decode failed (rc={rc})")
+            saw_scan = True
+            pos = end
+        else:
+            pos += 2 + seglen
+    if not saw_scan:
+        raise JPEGError("no SOS marker found")
+
+    planes = []
+    cids = list(comps.keys())
+    for cid in cids:
+        ch, cv, tq = comps[cid]
+        gw, gh, _bw, _bh = geom[cid]
+        plane = np.zeros((gh * 8, gw * 8), np.uint8)
+        qt = np.ascontiguousarray(quant[tq])
+        rc = lib.jpeg_finish_prog(
+            coeff[cid].ctypes.data_as(lib.i32p),
+            qt.ctypes.data_as(lib.i32p),
+            gw, gw, gh,
+            plane.ctypes.data_as(lib.u8p), plane.shape[1],
+        )
+        if rc != 0:
+            raise JPEGError(f"progressive finish failed (rc={rc})")
+        planes.append(plane)
+    return _assemble(planes, cids, comps, w, h, hmax, vmax)
 
 
 def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart):
@@ -214,9 +359,14 @@ def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart):
     if rc != 0:
         raise JPEGError(f"entropy decode failed (rc={rc})")
 
-    # crop each plane to its natural resolution, upsample to full size
+    return _assemble(planes, [cid for cid, _, _ in scan], comps, w, h,
+                     hmax, vmax)
+
+
+def _assemble(planes, cids, comps, w, h, hmax, vmax):
+    """Crop planes to natural resolution, chroma-upsample, color-convert."""
     full = []
-    for i, (cid, _, _) in enumerate(scan):
+    for i, cid in enumerate(cids):
         ch, cv, _ = comps[cid]
         cw = -(-w * ch // hmax)
         chh = -(-h * cv // vmax)
@@ -225,6 +375,7 @@ def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart):
         p = _triangle_upsample_axis(p, vmax // cv, 0, h)
         full.append(p.astype(np.int32))
 
+    ncomp = len(cids)
     if ncomp == 1:
         return full[0].astype(np.uint8)[:, :, None]
     if ncomp == 3:

@@ -32,6 +32,9 @@ def fixtures():
         b = io.BytesIO()
         PIL.fromarray(arr).save(b, format=fmt)
         out[fmt] = b.getvalue()
+    b = io.BytesIO()
+    PIL.fromarray(arr).save(b, format="JPEG", progressive=True)
+    out["JPEGP"] = b.getvalue()
     out["HDR"] = encode_image(arr, "hdr")
     out["TGA"] = encode_image(arr, "tga")
     from tests.test_formats_ext import _pic_header, _psd_header
@@ -51,7 +54,8 @@ def _try(data, fmt):
 
 
 @pytest.mark.parametrize(
-    "fmt", ["PNG", "JPEG", "BMP", "GIF", "PPM", "HDR", "TGA", "PSD", "PIC"]
+    "fmt",
+    ["PNG", "JPEG", "JPEGP", "BMP", "GIF", "PPM", "HDR", "TGA", "PSD", "PIC"],
 )
 def test_truncation_never_crashes(fixtures, fmt):
     data = fixtures[fmt]
@@ -64,7 +68,8 @@ def test_truncation_never_crashes(fixtures, fmt):
 
 
 @pytest.mark.parametrize(
-    "fmt", ["PNG", "JPEG", "BMP", "GIF", "PPM", "HDR", "TGA", "PSD", "PIC"]
+    "fmt",
+    ["PNG", "JPEG", "JPEGP", "BMP", "GIF", "PPM", "HDR", "TGA", "PSD", "PIC"],
 )
 def test_bitflips_never_crash(fixtures, fmt):
     data = bytearray(fixtures[fmt])

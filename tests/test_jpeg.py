@@ -1,8 +1,9 @@
-"""Baseline JPEG decoder vs PIL/libjpeg fixtures (round-1 verdict item 8).
+"""JPEG decoder vs PIL/libjpeg fixtures (round-1 verdict item 8).
 
-Contract: within 4 LSB of libjpeg (IDCT and fancy-upsampling rounding
-differences), exact shape/channel handling, all common subsampling modes,
-restart markers, and clean rejection of progressive streams.
+Contract: within a few LSB of libjpeg (IDCT and fancy-upsampling rounding
+differences; libjpeg's integer IDCT vs our float one), exact
+shape/channel handling, all common subsampling modes, restart markers,
+and progressive (SOF2) streams.
 """
 
 import io
@@ -71,11 +72,53 @@ def test_jpeg_restart_markers():
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 4
 
 
-def test_jpeg_progressive_rejected():
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((64, 80, 3), {}),
+        ((57, 43, 3), dict(subsampling=0)),       # 4:4:4
+        ((120, 200, 3), dict(quality=95)),
+        ((33, 31, 1), {}),                        # grayscale, odd dims
+        ((107, 131, 3), dict(quality=30)),
+    ],
+)
+def test_jpeg_progressive(rng, shape, kw):
+    """SOF2 spectral-selection/successive-approximation scans (the stb
+    decoder handles progressive; T.81 Annex G)."""
+    arr = rng.integers(0, 256, shape, np.uint8)
+    arr = (
+        arr.astype(np.int32)
+        + np.indices(shape[:2]).sum(0)[..., None] * 3
+    ).astype(np.uint8)
+    im = PIL.fromarray(arr.squeeze(-1) if shape[-1] == 1 else arr)
     buf = io.BytesIO()
-    PIL.fromarray(_smooth(32, 32)).save(buf, format="JPEG", progressive=True)
-    with pytest.raises(JPEGError, match="baseline"):
-        decode(buf.getvalue())
+    im.save(buf, format="JPEG", progressive=True, **kw)
+    data = buf.getvalue()
+    got = decode(data)
+    want = np.asarray(
+        PIL.open(io.BytesIO(data)).convert("RGB" if shape[-1] == 3 else "L")
+    )
+    if want.ndim == 2:
+        want = want[:, :, None]
+    assert got.shape == want.shape
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 4, d.max()
+
+
+def test_jpeg_progressive_noise_and_probe(rng):
+    """Adversarial noise content (worst-case entropy + max IDCT rounding
+    divergence: allow 6 LSB) and probe consistency."""
+    from lanczos_tpu.io import probe_image
+
+    arr = rng.integers(0, 256, (150, 222, 3), np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="JPEG", progressive=True)
+    data = buf.getvalue()
+    got = decode(data)
+    want = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 6
+    info = probe_image(data)
+    assert (info.width, info.height, info.channels) == (222, 150, 3)
 
 
 def test_read_image_dispatch(tmp_path, rng):
