@@ -102,6 +102,7 @@ def decode(data: bytes) -> np.ndarray:
     frame = None
     progressive = False
     restart = 0
+    transform = -1  # Adobe APP14 color transform (-1 = absent)
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -168,12 +169,14 @@ def decode(data: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            transform = body[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JPEGError("SOS before SOF")
             if progressive:
                 return _decode_progressive(
-                    lib, data, pos, frame, quant, hc, hv, restart
+                    lib, data, pos, frame, quant, hc, hv, restart, transform
                 )
             ns = body[0]
             if not (1 <= ns <= 4):
@@ -186,7 +189,8 @@ def decode(data: bytes) -> np.ndarray:
                 scan.append((cid, tt >> 4, tt & 15))
             entropy_start = pos + 2 + seglen
             return _decode_scan(
-                lib, data, entropy_start, frame, scan, quant, hc, hv, restart
+                lib, data, entropy_start, frame, scan, quant, hc, hv,
+                restart, transform
             )
         pos += 2 + seglen
     raise JPEGError("no SOS marker found")
@@ -207,7 +211,8 @@ def _next_marker(data: bytes, pos: int) -> int:
     return len(data)
 
 
-def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart):
+def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart,
+                        transform=-1):
     """SOF2: accumulate spectral-selection / successive-approximation scans
     into per-component coefficient grids (T.81 Annex G), then dequantize +
     IDCT once (``jpeg_finish_prog``).  ``pos`` points at the first SOS
@@ -316,10 +321,11 @@ def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart):
         if rc != 0:
             raise JPEGError(f"progressive finish failed (rc={rc})")
         planes.append(plane)
-    return _assemble(planes, cids, comps, w, h, hmax, vmax)
+    return _assemble(planes, cids, comps, w, h, hmax, vmax, transform)
 
 
-def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart):
+def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart,
+                 transform=-1):
     h, w, comps = frame
     ncomp = len(scan)
     hmax = max(c[0] for c in comps.values())
@@ -360,11 +366,23 @@ def _decode_scan(lib, data, start, frame, scan, quant, hc, hv, restart):
         raise JPEGError(f"entropy decode failed (rc={rc})")
 
     return _assemble(planes, [cid for cid, _, _ in scan], comps, w, h,
-                     hmax, vmax)
+                     hmax, vmax, transform)
 
 
-def _assemble(planes, cids, comps, w, h, hmax, vmax):
-    """Crop planes to natural resolution, chroma-upsample, color-convert."""
+def _blinn(a, k):
+    """stb's rounded 0-255 multiply (``stbi__blinn_8x8``), vectorized."""
+    t = a.astype(np.uint32) * k.astype(np.uint32) + 128
+    return ((t + (t >> 8)) >> 8).astype(np.uint8)
+
+
+def _assemble(planes, cids, comps, w, h, hmax, vmax, transform=-1):
+    """Crop planes to natural resolution, chroma-upsample, color-convert.
+
+    ``transform`` is the Adobe APP14 color-transform tag: with four
+    components 0 = CMYK (already Adobe-inverted) and 2 = YCCK, exactly as
+    stb converts them (``stbi__blinn_8x8`` composite against K); any other
+    value treats the 4th component as ignorable (stb's fallback).  Three
+    components with ids R,G,B skip the YCbCr conversion."""
     full = []
     for i, cid in enumerate(cids):
         ch, cv, _ = comps[cid]
@@ -378,15 +396,33 @@ def _assemble(planes, cids, comps, w, h, hmax, vmax):
     ncomp = len(cids)
     if ncomp == 1:
         return full[0].astype(np.uint8)[:, :, None]
-    if ncomp == 3:
-        y, cb, cr = (f.astype(np.float64) for f in full)
-        cb -= 128.0
-        cr -= 128.0
+
+    def ycbcr_to_rgb(y, cb, cr):
+        y, cb, cr = (f.astype(np.float64) for f in (y, cb, cr))
+        cb = cb - 128.0
+        cr = cr - 128.0
         r = y + 1.402 * cr
         g = y - 0.344136286 * cb - 0.714136286 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    if ncomp == 3:
+        if cids == [0x52, 0x47, 0x42]:  # component ids 'R','G','B'
+            return np.stack(full, axis=-1).astype(np.uint8)
+        return ycbcr_to_rgb(*full)
+    if ncomp == 4:
+        k = full[3].astype(np.uint8)
+        if transform == 0:  # CMYK, stored Adobe-inverted
+            return np.stack(
+                [_blinn(full[i].astype(np.uint8), k) for i in range(3)], -1
+            )
+        if transform == 2:  # YCCK
+            rgb = ycbcr_to_rgb(*full[:3])
+            return np.stack(
+                [_blinn(255 - rgb[..., i], k) for i in range(3)], -1
+            )
+        return ycbcr_to_rgb(*full[:3])  # YCbCr + ignorable 4th (stb)
     raise JPEGError(f"unsupported component count {ncomp}")
 
 

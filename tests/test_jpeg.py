@@ -152,3 +152,18 @@ def test_fill_bytes_before_marker():
     got = decode(bytes(data))
     want = decode(buf.getvalue())
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("prog", [False, True])
+def test_jpeg_cmyk(rng, prog):
+    """4-component Adobe CMYK (APP14 transform 0) -> RGB via stb's
+    blinn composite, baseline and progressive."""
+    arr = rng.integers(0, 256, (40, 56, 4), np.uint8)
+    im = PIL.fromarray(arr, mode="CMYK")
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=95, progressive=prog)
+    data = buf.getvalue()
+    got = decode(data)
+    want = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
