@@ -41,7 +41,8 @@ from lanczos_tpu.io.y4m import (  # noqa: F401
 def decode_image(data: bytes) -> np.ndarray:
     """Decode image bytes by magic sniffing → (H, W, C) uint8.
 
-    Formats: PNG (incl. Adam7), baseline JPEG, BMP, GIF, PSD, PIC,
+    Formats: PNG (incl. Adam7), JPEG (baseline + progressive, incl.
+    CMYK/YCCK), BMP, GIF, PSD, PIC,
     Radiance HDR (tone-mapped to uint8 with stb's gamma-2.2 defaults —
     use :func:`lanczos_tpu.io.formats.decode_hdr` for linear float32),
     and binary PNM.  (TGA has no magic — use :func:`read_image`, which

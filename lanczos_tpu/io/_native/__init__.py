@@ -101,9 +101,11 @@ def native_lib() -> Optional[_Lib]:
 
         def fresh(src_path: str, so_path: str):
             """Reuse the built .so only when it is newer than its source
-            (a stale artifact would silently miss new symbols)."""
+            (a stale artifact would silently miss new symbols).  A missing
+            source (pruned install shipping only the .so) uses the .so."""
             if os.path.exists(so_path) and (
-                os.path.getmtime(so_path) >= os.path.getmtime(src_path)
+                not os.path.exists(src_path)
+                or os.path.getmtime(so_path) >= os.path.getmtime(src_path)
             ):
                 return so_path
             return _build_one(src_path, so_path)

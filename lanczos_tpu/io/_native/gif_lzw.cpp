@@ -17,6 +17,7 @@
 extern "C" long gif_lzw_decode(const uint8_t *data, long nbytes,
                                int min_code_size, uint8_t *out,
                                long npixels) {
+    if (min_code_size < 1 || min_code_size > 11) return -3;  // defense in depth
     const int clear = 1 << min_code_size;
     const int eoi = clear + 1;
     static thread_local int16_t prefix[4096];

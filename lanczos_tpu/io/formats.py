@@ -278,6 +278,10 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
     fallback."""
     from lanczos_tpu.io._native import native_lib
 
+    if not (1 <= min_code_size <= 11):
+        # spec range is 2-8 (palette sizes); >11 would overflow the
+        # 12-bit code space and, unchecked, the native dictionary arrays
+        raise FormatError(f"bad LZW min code size {min_code_size}")
     lib = native_lib()
     if lib is not None and hasattr(lib, "gif_lzw_decode"):
         buf = np.frombuffer(data, np.uint8)

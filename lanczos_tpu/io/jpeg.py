@@ -38,6 +38,23 @@ def _codec(fn):
     return codec_errors(JPEGError)(fn)
 
 
+def _parse_dht(body: bytes, hc: np.ndarray, hv: np.ndarray) -> None:
+    """Parse a DHT segment into the (8, 16)/(8, 256) table arrays
+    (slots 0-3 DC, 4-7 AC)."""
+    b = 0
+    while b < len(body):
+        tc, th = body[b] >> 4, body[b] & 15
+        b += 1
+        counts = np.frombuffer(body[b : b + 16], np.uint8)
+        b += 16
+        total = int(counts.sum())
+        vals = np.frombuffer(body[b : b + total], np.uint8)
+        b += total
+        t = (0 if tc == 0 else 4) + th
+        hc[t] = counts
+        hv[t, :total] = vals
+
+
 def _triangle_upsample_axis(p: np.ndarray, factor: int, axis: int, size: int):
     """libjpeg-style fancy upsampling along one axis (factor 1 or 2;
     other factors fall back to nearest)."""
@@ -80,7 +97,9 @@ def probe(data: bytes):
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             body = data[pos + 4 : pos + 2 + seglen]
             h, w = struct.unpack(">HH", body[1:5])
-            return (w, h, int(body[5]), 8)
+            # >= 3 components decode to RGB (CMYK/YCCK composite against
+            # K), same clamp stb's info applies (img_n >= 3 ? 3 : 1)
+            return (w, h, 3 if body[5] >= 3 else 1, 8)
         if marker == 0xD9:  # EOI before any frame header
             break
         pos += 2 + seglen
@@ -132,18 +151,7 @@ def decode(data: bytes) -> np.ndarray:
                     ).astype(np.int32)
                     b += 128
         elif marker == 0xC4:  # DHT
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                b += 1
-                counts = np.frombuffer(body[b : b + 16], np.uint8)
-                b += 16
-                total = int(counts.sum())
-                vals = np.frombuffer(body[b : b + total], np.uint8)
-                b += total
-                t = (0 if tc == 0 else 4) + th
-                hc[t] = counts
-                hv[t, :total] = vals
+            _parse_dht(body, hc, hv)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             depth, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if depth != 8:
@@ -243,19 +251,7 @@ def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart,
         if marker == 0xD9:  # EOI
             break
         if marker == 0xC4:  # DHT between scans
-            b = 0
-            while b < len(body):
-                tc, th = body[b] >> 4, body[b] & 15
-                b += 1
-                counts = np.frombuffer(body[b : b + 16], np.uint8)
-                b += 16
-                total = int(counts.sum())
-                vals = np.frombuffer(body[b : b + total], np.uint8)
-                b += total
-                t = (0 if tc == 0 else 4) + th
-                hc[t] = counts
-                hv[t, :total] = 0
-                hv[t, :total] = vals
+            _parse_dht(body, hc, hv)
             pos += 2 + seglen
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
@@ -309,13 +305,15 @@ def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart,
     cids = list(comps.keys())
     for cid in cids:
         ch, cv, tq = comps[cid]
-        gw, gh, _bw, _bh = geom[cid]
+        gw, gh, bw, bh = geom[cid]
         plane = np.zeros((gh * 8, gw * 8), np.uint8)
         qt = np.ascontiguousarray(quant[tq])
+        # only the component's true blocks (bw, bh) need IDCT; the MCU
+        # padding beyond them is cropped by _assemble anyway
         rc = lib.jpeg_finish_prog(
             coeff[cid].ctypes.data_as(lib.i32p),
             qt.ctypes.data_as(lib.i32p),
-            gw, gw, gh,
+            gw, bw, bh,
             plane.ctypes.data_as(lib.u8p), plane.shape[1],
         )
         if rc != 0:

@@ -59,6 +59,14 @@ _COLORSPACES = {
 }
 
 
+def _split_depth(cs: str):
+    """``"420p10"`` → ``("420", 10)``; plain tags are 8-bit."""
+    for suf in ("p10", "p12", "p14", "p16"):
+        if cs.endswith(suf):
+            return cs[: -len(suf)], int(suf[1:])
+    return cs, 8
+
+
 @dataclasses.dataclass(frozen=True)
 class Y4MHeader:
     width: int
@@ -72,19 +80,11 @@ class Y4MHeader:
     @property
     def base_colorspace(self) -> str:
         """Colorspace tag without the pNN depth suffix (e.g. 420p10 → 420)."""
-        cs = self.colorspace
-        for suf in ("p10", "p12", "p14", "p16"):
-            if cs.endswith(suf):
-                return cs[: -len(suf)]
-        return cs
+        return _split_depth(self.colorspace)[0]
 
     @property
     def bit_depth(self) -> int:
-        cs = self.colorspace
-        for suf in ("p10", "p12", "p14", "p16"):
-            if cs.endswith(suf):
-                return int(suf[1:])
-        return 8
+        return _split_depth(self.colorspace)[1]
 
     @property
     def sample_dtype(self) -> np.dtype:
@@ -155,14 +155,10 @@ def parse_header(line: bytes) -> Y4MHeader:
         raise Y4MError("y4m header missing W/H")
     if interlace not in ("p", "?"):
         raise Y4MError(f"interlaced y4m (I{interlace}) unsupported")
-    base = cs
-    for suf in ("p10", "p12", "p14", "p16"):
-        if cs.endswith(suf):
-            base = cs[: -len(suf)]
-            break
+    base, depth = _split_depth(cs)
     if base not in _COLORSPACES:
         raise Y4MError(f"colorspace C{cs} unsupported")
-    if base != cs and _COLORSPACES[base] is None:
+    if depth != 8 and _COLORSPACES[base] is None:
         raise Y4MError(f"colorspace C{cs} unsupported (deep mono)")
     div = _COLORSPACES[base]
     if div is not None and (h % div[0] or w % div[1]):

@@ -238,11 +238,10 @@ class Upscaler:
             # the backends' integer path quantizes to the uint8 range (the
             # reference's clamp_to_byte); at 16-bit width run the float
             # path and apply the same trunc-clip against 65535
-            if (
-                self.cfg.precision == Precision.FIXED
-                or self.cfg.c_faithful
-                or self.backend in ("ref", "c_exact")
-            ):
+            if self.cfg.precision == Precision.FIXED or self.cfg.c_faithful:
+                # (covers the c_exact backend too, which implies c_faithful;
+                # the ref backend under PRECISE is dtype-agnostic floats and
+                # satisfies the contract below)
                 raise ValueError(
                     "uint16 input is not defined for the bit-exact uint8 "
                     "semantics profiles (hls/c_oracle); convert explicitly"

@@ -201,11 +201,13 @@ def upscale_y4m(
                     # deep streams: the uint16 dtype contract clips at
                     # 65535, but the stream's legal range is 2^depth−1 —
                     # clamp the Lanczos overshoot to it (the 8-bit path's
-                    # clamp_to_byte at stream width)
+                    # clamp_to_byte at stream width); trunc only floats
+                    # (device output is already uint16)
                     lim = (1 << hdr.bit_depth) - 1
                     host = [
-                        np.minimum(
-                            np.trunc(np.clip(h, 0, lim)), lim
+                        np.clip(
+                            h if h.dtype == np.uint16 else np.trunc(h),
+                            0, lim,
                         ).astype(np.uint16)
                         for h in host
                     ]

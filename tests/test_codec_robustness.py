@@ -164,3 +164,30 @@ def test_unknown_magic_is_valueerror():
         decode_image(b"\x00\x01\x02\x03" * 30)
     with pytest.raises(ValueError):
         probe_image(b"\x00\x01\x02\x03" * 30)
+
+
+def test_gif_bad_min_code_size_rejected(rng):
+    """Regression: a corrupted LZW min-code byte (e.g. 24) must raise, not
+    overflow the native decoder's 4096-entry dictionary (was a segfault)."""
+    from lanczos_tpu.io.formats import decode_gif
+
+    im = PIL.fromarray(rng.integers(0, 256, (8, 8, 3), np.uint8)).quantize(8)
+    b = io.BytesIO()
+    im.save(b, format="GIF")
+    data = bytearray(b.getvalue())
+    # walk the block structure to the image descriptor (a bare 0x2C byte
+    # search can hit palette data)
+    pos = 13 + (3 * (2 << (data[10] & 7)) if data[10] & 0x80 else 0)
+    while data[pos] == 0x21:  # extensions
+        pos += 2
+        while data[pos] != 0:
+            pos += data[pos] + 1
+        pos += 1
+    assert data[pos] == 0x2C
+    pal_bytes = 3 * (2 << (data[pos + 9] & 7)) if data[pos + 9] & 0x80 else 0
+    mc_pos = pos + 10 + pal_bytes
+    for bad in (0, 13, 24, 255):
+        mut = bytearray(data)
+        mut[mc_pos] = bad
+        with pytest.raises(ValueError):
+            decode_gif(bytes(mut))

@@ -129,3 +129,17 @@ def test_uint16_rejected_on_exact_backends(rng):
     img16 = rng.integers(0, 65536, size=(16, 16, 3), dtype=np.uint16)
     with pytest.raises(ValueError, match="uint16"):
         Upscaler(cfg)(img16)
+
+
+def test_uint16_ref_backend(rng):
+    """The ref backend under PRECISE is float/dtype-agnostic, so uint16
+    must work there too (deep Y4M with backend='ref')."""
+    import numpy as np
+
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.upscaler import Upscaler
+
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (16, 12), scale=(2, 1), a=2)
+    img16 = rng.integers(0, 65536, size=(16, 12, 3), dtype=np.uint16)
+    out = np.asarray(Upscaler(cfg, backend="ref")(img16))
+    assert out.dtype == np.uint16 and out.shape == (32, 24, 3)

@@ -167,3 +167,16 @@ def test_jpeg_cmyk(rng, prog):
     want = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+
+
+def test_jpeg_probe_cmyk_reports_decoded_channels(rng):
+    """stbi_info clamps >=3-component frames to 3 (what decode returns)."""
+    from lanczos_tpu.io import probe_image
+
+    arr = rng.integers(0, 256, (16, 20, 4), np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(arr, mode="CMYK").save(buf, format="JPEG")
+    data = buf.getvalue()
+    info = probe_image(data)
+    assert info.channels == 3
+    assert decode(data).shape == (16, 20, 3)
