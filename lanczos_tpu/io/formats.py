@@ -7,8 +7,9 @@ HDR/PIC/PNM) plus the write side stb_image_write.h lacks for some of
 them.
 
 Scope:
-- BMP: uncompressed BI_RGB 8 (paletted) / 24 / 32-bit, bottom-up or
-  top-down rows.
+- BMP: uncompressed 1/4/8-bit paletted, 16-bit (555 or BITFIELDS
+  masks), 24/32-bit, bottom-up or top-down rows (stb's exact scope:
+  no RLE).
 - TGA: types 1/2 (uncompressed palette/truecolor), 9/10 (RLE), 8/16/24/32
   bpp, origin handling.
 - PNM: binary P5 (gray) and P6 (RGB), maxval ≤ 65535.
@@ -99,15 +100,49 @@ def decode_bmp(data: bytes) -> np.ndarray:
     top_down = h < 0
     h = abs(h)
     check_dims(w, h)
-    if bpp == 8:
+    if bpp in (1, 4, 8):  # paletted (stb reads 1/4/8-bit, no RLE)
         (ncol,) = struct.unpack("<I", data[46:50])
-        ncol = ncol or 256
+        ncol = ncol or (1 << bpp)
         pal = np.frombuffer(
             data[14 + hdr_size : 14 + hdr_size + 4 * ncol], np.uint8
         ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
-        stride = (w + 3) & ~3
-        rows = np.frombuffer(data[pix_off : pix_off + stride * h], np.uint8)
-        img = pal[rows.reshape(h, stride)[:, :w]]
+        stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            data[pix_off : pix_off + stride * h], np.uint8
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)  # MSB-first per the format
+            samples = bits.reshape(h, -1, bpp)[:, :w, :]
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (samples * weights).sum(axis=2)
+        img = pal[idx]
+    elif bpp == 16:  # 555 (BI_RGB) or arbitrary BITFIELDS masks
+        if comp == 3:
+            masks = struct.unpack("<III", data[54:66])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        stride = (w * 2 + 3) & ~3
+        rows = np.frombuffer(
+            data[pix_off : pix_off + stride * h], np.uint8
+        ).reshape(h, stride)[:, : w * 2]
+        px = (
+            np.ascontiguousarray(rows)
+            .reshape(h, w, 2)
+            .view("<u2")[..., 0]
+            .astype(np.uint32)
+        )
+        chans = []
+        for mask in masks:
+            if mask == 0:
+                raise FormatError("BMP bitfields mask is zero")
+            shift = (mask & -mask).bit_length() - 1
+            maxv = mask >> shift
+            chans.append(
+                (((px >> shift) & maxv) * 255 // maxv).astype(np.uint8)
+            )
+        img = np.stack(chans, axis=-1)
     elif bpp in (24, 32):
         nb = bpp // 8
         stride = (w * nb + 3) & ~3
@@ -1004,7 +1039,7 @@ def probe(data: bytes):
         h = abs(h)
         check_dims(w, h)
         bpp = struct.unpack("<H", data[28:30])[0]
-        if bpp not in (8, 24, 32):
+        if bpp not in (1, 4, 8, 16, 24, 32):
             raise FormatError(f"BMP bpp {bpp} unsupported")
         return ("bmp", w, h, 4 if bpp == 32 else 3, 8)
     if data[:6] in (b"GIF87a", b"GIF89a"):

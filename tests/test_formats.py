@@ -141,3 +141,46 @@ def test_lzw_native_matches_python(rng):
         assert (a is None) == (p is None), (cut, a_exc, p_exc)
         if a is not None:
             np.testing.assert_array_equal(a, p)
+
+
+def test_bmp_1bit_and_4bit(rng):
+    """stb reads 1/4-bit paletted BMPs (no RLE); bit-unpacked rows."""
+    arr = _rgb(rng, 21, 13)
+    im1 = PIL.fromarray(arr).convert("L").convert("1")
+    buf = io.BytesIO()
+    im1.save(buf, format="BMP", bits=1)
+    np.testing.assert_array_equal(
+        decode_bmp(buf.getvalue()), np.asarray(im1.convert("RGB"))
+    )
+    im4 = PIL.fromarray(arr).quantize(16)
+    buf = io.BytesIO()
+    im4.save(buf, format="BMP", bits=4)
+    np.testing.assert_array_equal(
+        decode_bmp(buf.getvalue()), np.asarray(im4.convert("RGB"))
+    )
+
+
+def test_bmp_16bit_bitfields(rng):
+    """16-bit BMP with 565 BITFIELDS masks (hand-built; PIL writes none)."""
+    w, h = 7, 5
+    px = rng.integers(0, 65536, (h, w), np.uint16)
+    stride = (w * 2 + 3) & ~3
+    rowbytes = b"".join(
+        px[y].astype("<u2").tobytes().ljust(stride, b"\0")
+        for y in range(h - 1, -1, -1)
+    )
+    hdr = (
+        b"BM" + (66 + len(rowbytes)).to_bytes(4, "little") + bytes(4)
+        + (66).to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (16).to_bytes(2, "little") + (3).to_bytes(4, "little") + bytes(20)
+    )
+    masks = b"".join(m.to_bytes(4, "little") for m in (0xF800, 0x07E0, 0x001F))
+    got = decode_bmp(hdr + dib + masks + rowbytes)
+    r = ((px >> 11) & 31).astype(np.uint32) * 255 // 31
+    g = ((px >> 5) & 63).astype(np.uint32) * 255 // 63
+    b_ = (px & 31).astype(np.uint32) * 255 // 31
+    np.testing.assert_array_equal(got, np.stack([r, g, b_], -1).astype(np.uint8))
