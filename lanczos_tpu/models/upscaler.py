@@ -326,6 +326,16 @@ class Upscaler:
         return self._fn
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_upscaler(cfg: ResampleConfig, backend: str) -> Upscaler:
+    """Upscaler instances keyed by (config, backend) for the functional
+    API: a fresh instance per call would rebuild the host weight tables
+    and retrace the jit every time (~1 s on CPU, a full remote compile on
+    this TPU stack).  ResampleConfig is a frozen dataclass, so it is its
+    own cache key.  Bounded: each entry holds device-resident tables."""
+    return Upscaler(cfg, backend=backend)
+
+
 def upscale(
     img,
     scale: Optional[Tuple[int, int]] = None,
@@ -339,7 +349,8 @@ def upscale(
 
     A bare 2-D (H, W) image is treated as single-channel grayscale (the
     behavior of the reference's stb loader with ``req_comp=1``) and
-    returned 2-D."""
+    returned 2-D.  Repeat calls with the same (config, backend) reuse one
+    compiled :class:`Upscaler` (LRU of 64)."""
     gray2d = getattr(img, "ndim", 0) == 2
     if gray2d:
         img = img[..., None]
@@ -347,5 +358,5 @@ def upscale(
     cfg = ResampleConfig.from_profile(
         profile, (h, w), out_shape=out_shape, scale=scale, a=a, **overrides
     )
-    out = Upscaler(cfg, backend=backend)(img)
+    out = _cached_upscaler(cfg, backend)(img)
     return out[..., 0] if gray2d else out

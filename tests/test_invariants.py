@@ -143,3 +143,19 @@ def test_uint16_ref_backend(rng):
     img16 = rng.integers(0, 65536, size=(16, 12, 3), dtype=np.uint16)
     out = np.asarray(Upscaler(cfg, backend="ref")(img16))
     assert out.dtype == np.uint16 and out.shape == (32, 24, 3)
+
+
+def test_functional_upscale_caches_upscaler(rng):
+    """Repeat upscale() calls with one config reuse the compiled model."""
+    import numpy as np
+
+    from lanczos_tpu import upscale
+    from lanczos_tpu.models.upscaler import _cached_upscaler
+
+    _cached_upscaler.cache_clear()
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    a = np.asarray(upscale(img, scale=(2, 1), a=2))
+    b = np.asarray(upscale(img, scale=(2, 1), a=2))
+    np.testing.assert_array_equal(a, b)
+    info = _cached_upscaler.cache_info()
+    assert info.hits == 1 and info.misses == 1
