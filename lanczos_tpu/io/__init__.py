@@ -18,6 +18,8 @@ The rest of the stb loader API surface maps 1:1: :func:`probe_image` =
 kernels consume.
 """
 
+from typing import NamedTuple
+
 import numpy as np
 
 from lanczos_tpu.io.png import (  # noqa: F401
@@ -91,19 +93,23 @@ def decode_image_16(data: bytes) -> np.ndarray:
     return decode_image(data).astype(np.uint16) * 257
 
 
-class ImageInfo(tuple):
-    """``(width, height, channels, bits, format)`` from a header-only
-    probe — the ``stbi_info`` + ``stbi_is_16_bit`` + ``stbi_is_hdr``
-    result in one struct."""
+class ImageInfo(NamedTuple):
+    """Header-probe result — the ``stbi_info`` + ``stbi_is_16_bit`` +
+    ``stbi_is_hdr`` answers in one struct."""
 
-    __slots__ = ()
-    width = property(lambda s: s[0])
-    height = property(lambda s: s[1])
-    channels = property(lambda s: s[2])
-    bits = property(lambda s: s[3])
-    format = property(lambda s: s[4])
-    is_16bit = property(lambda s: s[3] == 16)
-    is_hdr = property(lambda s: s[4] == "hdr")
+    width: int
+    height: int
+    channels: int
+    bits: int
+    format: str
+
+    @property
+    def is_16bit(self) -> bool:
+        return self.bits == 16
+
+    @property
+    def is_hdr(self) -> bool:
+        return self.format == "hdr"
 
 
 def probe_image(data: bytes, *, tga: bool = False) -> ImageInfo:
@@ -118,15 +124,15 @@ def probe_image(data: bytes, *, tga: bool = False) -> ImageInfo:
     from lanczos_tpu.io import formats, jpeg, png
 
     if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return ImageInfo((*png.probe(data), "png"))
+        return ImageInfo(*png.probe(data), "png")
     if data[:2] == b"\xff\xd8":
-        return ImageInfo((*jpeg.probe(data), "jpeg"))
+        return ImageInfo(*jpeg.probe(data), "jpeg")
     try:
         fmt, w, h, c, bits = formats.probe(data)
-        return ImageInfo((w, h, c, bits, fmt))
+        return ImageInfo(w, h, c, bits, fmt)
     except formats.FormatError:
         if tga:
-            return ImageInfo((*formats.probe_tga(data), "tga"))
+            return ImageInfo(*formats.probe_tga(data), "tga")
         raise
 
 

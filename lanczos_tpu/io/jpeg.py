@@ -236,9 +236,10 @@ def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart,
     geom = {}
     coeff = {}
     for cid, (ch, cv, tq) in comps.items():
-        gw, gh = mcu_cols * ch, mcu_rows * cv
-        bw = -(-(-(-w * ch // hmax)) // 8)
-        bh = -(-(-(-h * cv // vmax)) // 8)
+        gw, gh = mcu_cols * ch, mcu_rows * cv  # MCU-padded block grid
+        comp_w = -(-w * ch // hmax)  # component's natural pixel dims
+        comp_h = -(-h * cv // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)  # its true block dims
         geom[cid] = (gw, gh, bw, bh)
         coeff[cid] = np.zeros(gh * gw * 64, np.int32)
 

@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lanczos_tpu.core.config import Precision, Profile, ResampleConfig
+from lanczos_tpu.core.config import (
+    EdgeMode,
+    Order,
+    Precision,
+    Profile,
+    ResampleConfig,
+)
 from lanczos_tpu.ops.fixed_point import HLSOps, hls_upscale_xla
 from lanczos_tpu.ops.resample_xla import SeparableOps, resample_2d_xla
 
@@ -48,8 +54,6 @@ def _shift_eligible(cfg: ResampleConfig) -> bool:
     """
     from lanczos_tpu.ops.resample_shift_xla import MAX_PHASES
 
-    from lanczos_tpu.core.config import EdgeMode
-
     if cfg.precision == Precision.FIXED or cfg.c_faithful:
         return False
     if cfg.intermediate_quantize:
@@ -60,8 +64,6 @@ def _shift_eligible(cfg: ResampleConfig) -> bool:
         # VALUES — neither is expressible as zero padding + phase-uniform
         # weights
         return False
-    from lanczos_tpu.core.config import Order
-
     if cfg.order == Order.WIDTH_FIRST and cfg.dering:
         # the shift path is height-first; with the (nonlinear) dering
         # clamp the pass order is observable — keep the gather path
@@ -106,7 +108,6 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
         return False
     if jax.default_backend() in ("cpu",):
         return False
-    from lanczos_tpu.core.config import Order
     from lanczos_tpu.ops.resample_pallas import _mxu_plan, transposed_cfg
 
     # the plan covers dering and intermediate_quantize too (fused one-hot
@@ -128,8 +129,6 @@ def _pallas_auto_eligible(cfg: ResampleConfig) -> bool:
     # drop-edge configs: when the MXU plan is infeasible (VMEM/tile
     # coverage), PallasOps has no drop-capable kernel and would raise
     # where auto must fall through to the gather path
-    from lanczos_tpu.core.config import EdgeMode
-
     return (
         cfg.dering
         and cfg.order == Order.HEIGHT_FIRST
