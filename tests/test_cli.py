@@ -60,3 +60,24 @@ def test_cli_info(tmp_path, capsys):
     assert main([str(p), "--info"]) == 0
     out = capsys.readouterr().out
     assert "png 34x12 3ch 8-bit" in out
+
+
+def test_cli_expected_is_fp64_oracle(tmp_path, capsys):
+    """The reference testbench's 'expected' is always the fp64 software
+    oracle (full_TB.h:141), so the hls profile prints a nonzero
+    cross-implementation RMS while c_oracle prints bit-exact inf."""
+    import numpy as np
+
+    from lanczos_tpu.cli import main
+    from lanczos_tpu.io import write_image
+
+    rng = np.random.default_rng(5)
+    p = tmp_path / "in.png"
+    write_image(p, rng.integers(0, 256, (24, 20, 3), dtype=np.uint8))
+    assert main([str(p), str(tmp_path / "o1.png"), "--scale", "2/1",
+                 "--a", "2", "--profile", "hls"]) == 0
+    hls_out = capsys.readouterr().out
+    assert "PSNR: inf" not in hls_out and "RMS error vs fp64 oracle" in hls_out
+    assert main([str(p), str(tmp_path / "o2.png"), "--scale", "2/1",
+                 "--a", "2", "--profile", "c_oracle"]) == 0
+    assert "PSNR: inf" in capsys.readouterr().out
