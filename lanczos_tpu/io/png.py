@@ -183,7 +183,8 @@ def probe(data: bytes):
         raise PNGError(f"bad color type {color}")
     if color == 3:
         return (w, h, 4 if trns else 3, 8)
-    return (w, h, _COLOR_CHANNELS[color], depth if depth == 16 else 8)
+    extra = 1 if (trns and color in (0, 2)) else 0  # color-key alpha
+    return (w, h, _COLOR_CHANNELS[color] + extra, depth if depth == 16 else 8)
 
 
 def decode(data: bytes) -> np.ndarray:
@@ -278,6 +279,27 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
             img = np.concatenate([img, a[pal_idx][..., None]], axis=-1)
         if want16:
             img = img.astype(np.uint16) * 257
+    elif trns is not None and color in (0, 2):
+        # color-key transparency (stbi__compute_transparency): tRNS holds
+        # one big-endian 16-bit sample per channel; exact matches become
+        # alpha 0, everything else fully opaque
+        key = np.frombuffer(trns.tobytes(), ">u2").astype(np.uint32)[
+            : img.shape[2]
+        ]
+        # the key must go through the same sample transform as the pixels:
+        # depth<8 scales to the 8-bit range, 8-bit keeps the low byte
+        # (stb's convention), and want16 promotes x257 for sub-16 depths
+        if depth < 8:
+            key = key * (255 // ((1 << depth) - 1))
+        elif depth == 8:
+            key = key & 255
+        if want16 and depth < 16:
+            key = key * 257
+        keyv = key.astype(img.dtype)
+        match = np.all(img == keyv[None, None, :], axis=2)
+        full = np.array(65535 if want16 else 255, img.dtype)
+        alpha = np.where(match, img.dtype.type(0), full)
+        img = np.concatenate([img, alpha[..., None]], axis=2)
     return np.ascontiguousarray(img)
 
 

@@ -153,3 +153,34 @@ def test_adam7_interlaced_decode(rng):
     np.testing.assert_array_equal(
         decode(buf.getvalue()), np.asarray(im.convert("RGB"))
     )
+
+
+def test_color_key_transparency(rng):
+    """tRNS on grayscale/RGB PNGs synthesizes an alpha channel, exactly as
+    stb's stbi__compute_transparency (alpha 0 on exact key match)."""
+    from lanczos_tpu.io import decode_image, probe_image
+    from lanczos_tpu.io.png import decode16
+
+    arr = rng.integers(0, 256, (12, 10, 3), np.uint8)
+    key = tuple(int(v) for v in arr[3, 4])
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="PNG", transparency=key)
+    data = buf.getvalue()
+    got = decode_image(data)
+    assert got.shape == (12, 10, 4)
+    assert probe_image(data).channels == 4
+    np.testing.assert_array_equal(
+        got, np.asarray(PIL.open(io.BytesIO(data)).convert("RGBA"))
+    )
+    # grayscale key, both widths (the key promotes with the samples)
+    g = rng.integers(0, 256, (8, 9), np.uint8)
+    kv = int(g[2, 3])
+    buf = io.BytesIO()
+    PIL.fromarray(g, mode="L").save(buf, format="PNG", transparency=kv)
+    m = g == kv
+    d8 = decode_image(buf.getvalue())
+    np.testing.assert_array_equal(d8[..., 1], np.where(m, 0, 255))
+    d16 = decode16(buf.getvalue())
+    np.testing.assert_array_equal(
+        d16[..., 1], np.where(m, 0, 65535).astype(np.uint16)
+    )
