@@ -158,6 +158,10 @@ def test_adam7_interlaced_decode(rng):
 def test_color_key_transparency(rng):
     """tRNS on grayscale/RGB PNGs synthesizes an alpha channel, exactly as
     stb's stbi__compute_transparency (alpha 0 on exact key match)."""
+    import io
+
+    from PIL import Image as PIL
+
     from lanczos_tpu.io import decode_image, probe_image
     from lanczos_tpu.io.png import decode16
 
