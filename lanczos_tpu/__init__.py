@@ -14,7 +14,9 @@ Public API:
     - ``lanczos_tpu.ops``:    XLA and Pallas resampling ops
     - ``lanczos_tpu.parallel``: mesh sharding + halo exchange
     - ``lanczos_tpu.models``: high-level upscaler pipelines
-    - ``lanczos_tpu.io``:     image codecs (PNG/JPEG/BMP/TGA/PNM/GIF; native C++ fast paths)
+    - ``lanczos_tpu.io``:     image codecs (the full stb set: PNG/JPEG/BMP/
+      TGA/PNM/GIF/PSD/HDR/PIC + probe/16-bit/GIF-frames APIs; native C++
+      fast paths) and Y4M video (8- and 10/12/14/16-bit)
     - ``lanczos_tpu.utils``:  metrics, profiling, roofline
 """
 

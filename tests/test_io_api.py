@@ -154,7 +154,7 @@ def test_decode16_png_native(rng):
 def test_decode16_pil_gray16_crosscheck(rng):
     arr = rng.integers(0, 65536, size=(9, 13), dtype=np.uint16)
     buf = io.BytesIO()
-    PIL.fromarray(arr, mode="I;16").save(buf, format="PNG")
+    PIL.fromarray(arr).save(buf, format="PNG")
     got = decode_image_16(buf.getvalue())
     np.testing.assert_array_equal(got[..., 0], arr)
 

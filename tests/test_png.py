@@ -106,7 +106,7 @@ def test_16bit_narrowing():
     PIL = pytest.importorskip("PIL.Image")
     img16 = (np.arange(256, dtype=np.uint16).reshape(16, 16) * 257)
     buf = _io.BytesIO()
-    PIL.fromarray(img16, mode="I;16").save(buf, format="PNG")
+    PIL.fromarray(img16).save(buf, format="PNG")
     out = decode(buf.getvalue())
     np.testing.assert_array_equal(out[..., 0], (img16 >> 8).astype(np.uint8))
 
