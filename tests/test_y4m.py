@@ -305,3 +305,33 @@ def test_upscale_y4m_deep(tmp_path, rng):
     np.testing.assert_array_equal(
         out[0][0], np.minimum(want, 1023).astype(np.uint16)
     )
+
+
+def test_y4m_truncation_and_bitflips_never_crash(rng):
+    """The container honors the codec never-crash contract: corrupt bytes
+    raise ValueError subclasses, never IndexError/struct.error."""
+    from lanczos_tpu.io.y4m import read_y4m, write_y4m
+
+    y = rng.integers(0, 256, size=(6, 8), dtype=np.uint8)
+    c = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    buf = io.BytesIO()
+    write_y4m(buf, [(y, c, c)] * 2)
+    data = buf.getvalue()
+    y16 = rng.integers(0, 1024, size=(6, 8), dtype=np.uint16)
+    c16 = rng.integers(0, 1024, size=(3, 4), dtype=np.uint16)
+    buf = io.BytesIO()
+    write_y4m(buf, [(y16, c16, c16)], colorspace="420p10")
+    deep = buf.getvalue()
+    for blob in (data, deep):
+        for cut in range(1, len(blob)):
+            try:
+                read_y4m(io.BytesIO(blob[:cut]))
+            except ValueError:
+                pass
+        for pos in range(min(64, len(blob))):
+            mut = bytearray(blob)
+            mut[pos] ^= 0xFF
+            try:
+                read_y4m(io.BytesIO(bytes(mut)))
+            except ValueError:
+                pass
