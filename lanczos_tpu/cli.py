@@ -151,10 +151,28 @@ def main(argv=None) -> int:
         # oracle (full_TB.h:141 lanczos_expected), regardless of which path
         # produced "observed" — so the RMS print is the cross-implementation
         # number the reference reports (e.g. ~13 for the hls profile at
-        # 2x/a=2, full_TB.h:166), not a same-semantics self-check
-        from lanczos_tpu.ref.oracle import c_oracle_upscale
+        # 2x/a=2, full_TB.h:166), not a same-semantics self-check.
+        # The C oracle is upscale-only / lanczos-only / zero-aligned
+        # (full_TB.h never downscales); outside that domain fall back to
+        # the fp64 ref backend evaluated with the SAME config.
+        oracle_ok = (
+            args.filter == "lanczos" and args.align == "zero"
+            and oh >= h and ow >= w
+        )
+        if oracle_ok:
+            from lanczos_tpu.ref.oracle import c_oracle_upscale
 
-        expected = c_oracle_upscale(img, oh, ow, args.a)
+            expected = c_oracle_upscale(img, oh, ow, args.a)
+            label = "fp64 oracle"
+        else:
+            from lanczos_tpu.ref.oracle import clean_resample_2d
+
+            exp_f = clean_resample_2d(img, cfg)
+            expected = (
+                exp_f if exp_f.dtype == np.uint8
+                else np.trunc(np.clip(exp_f, 0, 255)).astype(np.uint8)
+            )
+            label = "fp64 ref backend (config outside the C oracle's domain)"
         if args.expected:
             ex_path = os.path.join(
                 os.path.dirname(out_path) or ".", tag + "expected.png"
@@ -162,7 +180,7 @@ def main(argv=None) -> int:
             write_image(ex_path, expected)
             print(f"wrote {ex_path}")
         if not args.no_psnr:
-            print(f"RMS error vs fp64 oracle: {rms_error(out, expected):.4f}  "
+            print(f"RMS error vs {label}: {rms_error(out, expected):.4f}  "
                   f"PSNR: {psnr(out, expected):.2f} dB")
 
     if args.bench > 0:

@@ -81,3 +81,36 @@ def test_cli_expected_is_fp64_oracle(tmp_path, capsys):
     assert main([str(p), str(tmp_path / "o2.png"), "--scale", "2/1",
                  "--a", "2", "--profile", "c_oracle"]) == 0
     assert "PSNR: inf" in capsys.readouterr().out
+
+
+def test_cli_downscale_psnr_falls_back(tmp_path, capsys, rng):
+    """A downscale run is outside the C oracle's domain (upscale-only,
+    full_TB.h): the PSNR step must fall back to the fp64 ref backend
+    instead of crashing (round-3 advisor finding, cli.py:157)."""
+    from lanczos_tpu.io import write_image
+
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    write_image(src, img)
+    rc = main([str(src), str(tmp_path / "down.png"), "--scale", "1/2",
+               "--a", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RMS error vs fp64 ref backend" in out
+    assert read_png(tmp_path / "down.png").shape == (16, 16, 3)
+
+
+def test_cli_center_align_psnr_falls_back(tmp_path, capsys, rng):
+    """center align is outside the C oracle's domain (the oracle is
+    zero-aligned); the PSNR print must compare against the ref backend
+    with the SAME config, yielding a self-consistent (near-exact) value."""
+    from lanczos_tpu.io import write_image
+
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    write_image(src, img)
+    rc = main([str(src), str(tmp_path / "o.png"), "--scale", "2/1",
+               "--a", "2", "--align", "center"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fp64 ref backend" in out
