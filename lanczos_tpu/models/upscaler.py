@@ -26,7 +26,9 @@ Backends:
 
 from __future__ import annotations
 
+import collections
 import functools
+from collections import OrderedDict
 from functools import partial
 from typing import Optional, Tuple
 
@@ -325,14 +327,89 @@ class Upscaler:
         return self._fn
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_upscaler(cfg: ResampleConfig, backend: str) -> Upscaler:
-    """Upscaler instances keyed by (config, backend) for the functional
-    API: a fresh instance per call would rebuild the host weight tables
-    and retrace the jit every time (~1 s on CPU, a full remote compile on
-    this TPU stack).  ResampleConfig is a frozen dataclass, so it is its
-    own cache key.  Bounded: each entry holds device-resident tables."""
-    return Upscaler(cfg, backend=backend)
+def _device_table_bytes(model: Upscaler) -> int:
+    """Estimate a compiled Upscaler's device-table footprint: every
+    jax/NumPy array reachable from its ops/plan objects (weight stacks,
+    bf16 splits, index maps).  Host NumPy tables count too — they become
+    device-resident jit constants at trace time."""
+    seen: set[int] = set()
+    total = 0
+    stack: list = [model]
+    while stack:
+        obj = stack.pop()
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+        if isinstance(obj, (jax.Array, np.ndarray)):
+            total += obj.nbytes
+        elif isinstance(obj, (list, tuple)):
+            stack.extend(obj)
+        elif isinstance(obj, dict):
+            stack.extend(obj.values())
+        elif type(obj).__module__.startswith("lanczos_tpu") and hasattr(
+            obj, "__dict__"
+        ):
+            stack.extend(vars(obj).values())
+    return total
+
+
+class _UpscalerCache:
+    """(cfg, backend) → compiled :class:`Upscaler`, LRU-evicted by TOTAL
+    estimated device-table bytes as well as entry count.
+
+    A fresh instance per call would rebuild the host weight tables and
+    retrace the jit every time (~1 s on CPU, a full remote compile on
+    this TPU stack), so caching is load-bearing — but each entry pins
+    multi-MB device weight stacks, and a plain ``lru_cache(64)`` could
+    quietly hold hundreds of MB of HBM in a long-lived process cycling
+    configs.  ResampleConfig is a frozen dataclass, so it is its own
+    cache key.  The newest entry always survives even if it alone
+    exceeds ``max_bytes``."""
+
+    def __init__(self, max_entries: int = 64, max_bytes: int = 256 << 20):
+        self.max_entries = max_entries
+        self.max_bytes = max_bytes
+        self._data: "OrderedDict[tuple, tuple[Upscaler, int]]" = OrderedDict()
+        self._bytes = 0
+        self._hits = 0
+        self._misses = 0
+
+    def __call__(self, cfg: ResampleConfig, backend: str) -> Upscaler:
+        key = (cfg, backend)
+        hit = self._data.get(key)
+        if hit is not None:
+            self._data.move_to_end(key)
+            self._hits += 1
+            return hit[0]
+        self._misses += 1
+        model = Upscaler(cfg, backend=backend)
+        size = _device_table_bytes(model)
+        self._data[key] = (model, size)
+        self._bytes += size
+        while len(self._data) > 1 and (
+            len(self._data) > self.max_entries or self._bytes > self.max_bytes
+        ):
+            _, (_, evicted) = self._data.popitem(last=False)
+            self._bytes -= evicted
+        return model
+
+    def cache_clear(self) -> None:
+        self._data.clear()
+        self._bytes = 0
+        self._hits = self._misses = 0
+
+    def cache_info(self):
+        return _CacheInfo(
+            self._hits, self._misses, self.max_entries, len(self._data),
+            self._bytes,
+        )
+
+
+_CacheInfo = collections.namedtuple(
+    "CacheInfo", ["hits", "misses", "maxsize", "currsize", "currbytes"]
+)
+
+_cached_upscaler = _UpscalerCache()
 
 
 def upscale(

@@ -159,3 +159,61 @@ def test_functional_upscale_caches_upscaler(rng):
     np.testing.assert_array_equal(a, b)
     info = _cached_upscaler.cache_info()
     assert info.hits == 1 and info.misses == 1
+
+
+def test_upscale_cache_bounded_by_bytes(rng):
+    """Cycling many configs through upscale() must not pin unbounded
+    device memory: the cache evicts by total estimated table bytes, not
+    just entry count (round-3 verdict #7)."""
+    import numpy as np
+
+    from lanczos_tpu import upscale
+    from lanczos_tpu.models.upscaler import (
+        _cached_upscaler,
+        _device_table_bytes,
+    )
+
+    _cached_upscaler.cache_clear()
+    old_bytes, old_entries = (
+        _cached_upscaler.max_bytes,
+        _cached_upscaler.max_entries,
+    )
+    try:
+        _cached_upscaler.max_bytes = 100 << 10  # 100 KB: forces byte eviction
+        img = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+        for n in range(2, 16):  # 14 distinct configs
+            upscale(img, scale=(n, 1), a=2, backend="xla")
+        info = _cached_upscaler.cache_info()
+        assert info.currbytes <= max(
+            100 << 10,
+            max(s for _, s in _cached_upscaler._data.values()),
+        )
+        assert info.currsize < 14  # something was evicted by bytes
+        # newest entry always survives
+        assert info.currsize >= 1
+        # footprint estimator sees the weight tables
+        m = next(iter(_cached_upscaler._data.values()))[0]
+        assert _device_table_bytes(m) > 0
+    finally:
+        _cached_upscaler.max_bytes = old_bytes
+        _cached_upscaler.max_entries = old_entries
+        _cached_upscaler.cache_clear()
+
+
+def test_upscale_cache_entry_bound_still_applies(rng):
+    import numpy as np
+
+    from lanczos_tpu import upscale
+    from lanczos_tpu.models.upscaler import _cached_upscaler
+
+    _cached_upscaler.cache_clear()
+    old = _cached_upscaler.max_entries
+    try:
+        _cached_upscaler.max_entries = 3
+        img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+        for n in range(2, 8):
+            upscale(img, scale=(n, 1), a=2, backend="xla")
+        assert _cached_upscaler.cache_info().currsize == 3
+    finally:
+        _cached_upscaler.max_entries = old
+        _cached_upscaler.cache_clear()
