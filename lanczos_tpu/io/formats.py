@@ -83,6 +83,26 @@ _codec = codec_errors(FormatError)
 
 # ---------------------------------------------------------------- BMP
 
+# stb's bit-replication channel expansion (stb_image.h:5331-5348): align
+# the mask's top bit to bit 7, keep the top `bits` bits, then replicate
+# them across the byte with a multiply+shift.  Differs from (v*255)//maxv
+# by 1 LSB on some values (e.g. 5-bit 16 -> 132, not 131).
+_SHIFTSIGNED_MUL = (0, 0xFF, 0x55, 0x49, 0x11, 0x21, 0x41, 0x81, 0x01)
+_SHIFTSIGNED_SHIFT = (0, 0, 0, 1, 0, 2, 4, 6, 0)
+
+
+def _shiftsigned(px: np.ndarray, mask: int) -> np.ndarray:
+    bits = bin(mask).count("1")
+    if mask == 0 or bits > 8:
+        raise FormatError(f"BMP bitfields mask {mask:#x} unsupported")
+    shift = mask.bit_length() - 8  # high_bit(mask) - 7
+    v = px & np.uint32(mask)
+    v = (v >> shift) if shift >= 0 else (v << -shift)
+    v >>= 8 - bits
+    return ((v * _SHIFTSIGNED_MUL[bits]) >> _SHIFTSIGNED_SHIFT[bits]).astype(
+        np.uint8
+    )
+
 
 @_codec
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -133,15 +153,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
             .view("<u2")[..., 0]
             .astype(np.uint32)
         )
-        chans = []
-        for mask in masks:
-            if mask == 0:
-                raise FormatError("BMP bitfields mask is zero")
-            shift = (mask & -mask).bit_length() - 1
-            maxv = mask >> shift
-            chans.append(
-                (((px >> shift) & maxv) * 255 // maxv).astype(np.uint8)
-            )
+        chans = [_shiftsigned(px, mask) for mask in masks]
         img = np.stack(chans, axis=-1)
     elif bpp in (24, 32):
         nb = bpp // 8
@@ -263,18 +275,22 @@ def _pnm_header(data: bytes):
 
 @_codec
 def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary PNM → (H, W, 1|3) uint8, stb semantics: sample bytes are
+    returned RAW (the header maxval only selects the 8- vs 16-bit width
+    and must be ≤ 65535, ``stbi__pnm_info``); 16-bit samples narrow with
+    a plain ``>> 8`` (``stbi__convert_16_to_8``), NOT ``*255//maxval``."""
     if data[:2] not in (b"P5", b"P6"):
         raise FormatError("only binary PNM (P5/P6) supported")
     nchan = 1 if data[:2] == b"P5" else 3
     pos, (w, h, maxval) = _pnm_header(data)
     check_dims(w, h)
-    if maxval <= 0:
+    if not 0 < maxval <= 65535:
         raise FormatError(f"bad PNM maxval {maxval}")
     if maxval < 256:
         img = np.frombuffer(data[pos : pos + w * h * nchan], np.uint8)
     else:
         raw = np.frombuffer(data[pos : pos + 2 * w * h * nchan], ">u2")
-        img = (raw.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+        img = (raw >> 8).astype(np.uint8)
     return img.reshape(h, w, nchan).copy()
 
 
@@ -282,23 +298,22 @@ def decode_pnm(data: bytes) -> np.ndarray:
 def decode_pnm16(data: bytes) -> np.ndarray:
     """Binary PNM at full width → (H, W, 1|3) uint16 (stbi_load_16 analog).
 
-    maxval < 256 sources return exactly ``decode_pnm(data) * 257`` (the
-    documented 8→16 promotion); deeper sources rescale to 0–65535 from
-    the header's maxval (the 16-bit analog of :func:`decode_pnm`'s
-    ``* 255 // maxval``)."""
+    stb semantics: 16-bit samples are returned RAW (the header maxval is
+    never used for scaling, only width selection — ``stbi__pnm_load``);
+    maxval < 256 sources return exactly ``decode_pnm(data) * 257``
+    (``stbi__convert_8_to_16``'s ``(v << 8) | v`` promotion)."""
     if data[:2] not in (b"P5", b"P6"):
         raise FormatError("only binary PNM (P5/P6) supported")
     nchan = 1 if data[:2] == b"P5" else 3
     pos, vals = _pnm_header(data)
     w, h, maxval = vals
     check_dims(w, h)
-    if maxval <= 0:
+    if not 0 < maxval <= 65535:
         raise FormatError(f"bad PNM maxval {maxval}")
     if maxval < 256:
         return decode_pnm(data).astype(np.uint16) * 257
     raw = np.frombuffer(data[pos : pos + 2 * w * h * nchan], ">u2")
-    img = (raw.astype(np.uint32) * 65535 // maxval).astype(np.uint16)
-    return img.reshape(h, w, nchan).copy()
+    return raw.astype(np.uint16).reshape(h, w, nchan).copy()
 
 
 # ---------------------------------------------------------------- GIF
@@ -417,7 +432,7 @@ def _lzw_decode(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
 def decode_gif(data: bytes) -> np.ndarray:
     """First GIF frame → (H, W, 3|4) uint8 (alpha iff frame transparency)."""
     try:
-        for w, h, fr in _gif_walk(data):
+        for w, h, _screen, fr in _gif_walk(data):
             x0, y0, idx, pal, transparent, _delay, _disp = fr
             rgb = pal[idx]
             if transparent is not None:
@@ -443,22 +458,46 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
     analog (``stb_image.h``'s two-layer canvas accumulation).
 
     Returns ``(frames, delays)``: frames is (N, H, W, 4) uint8 RGBA on the
-    full logical screen with inter-frame disposal applied (keep /
-    restore-to-background / restore-to-previous); delays are per-frame
-    display times in milliseconds (GIF stores centiseconds; stb also
-    returns ms).
+    full logical screen with inter-frame disposal applied; delays are
+    per-frame display times in milliseconds (GIF stores centiseconds; stb
+    also returns ms).
+
+    Disposal follows stb exactly (``stb_image.h:6729-6760``): a per-pixel
+    ``history`` mask records which pixels the previous frame's raster
+    covered; dispose 2 restores those pixels from the ``background``
+    snapshot (the canvas as it stood *before* the previous frame drew,
+    not transparent black), dispose 3 restores them from the composited
+    frame two back (remapped to dispose 2 when none exists,
+    ``stb_image.h:6733-6735``; the vendored copy's ``two_back`` pointer
+    arithmetic is out-of-bounds UB — this implements the intent).  On
+    the first frame, raster-untouched pixels get the global background
+    color when ``bgindex > 0`` — including stb's channel quirk: the fill
+    memcpy copies the palette's BGR-stored row verbatim into the RGBA
+    canvas (``stb_image.h:6817-6824``).
     """
     frames: list[np.ndarray] = []
     delays: list[int] = []
-    canvas = None
+    canvas = background = history = None
+    prev_dispose = 0
     try:
-        for w, h, fr in _gif_walk(data):
+        for w, h, (bgindex, gpal), fr in _gif_walk(data):
             x0, y0, idx, pal, transparent, delay_cs, dispose = fr
             if canvas is None:
                 canvas = np.zeros((h, w, 4), np.uint8)
+                background = np.zeros((h, w, 4), np.uint8)
+            else:
+                d = prev_dispose
+                if d == 3 and len(frames) < 2:
+                    d = 2  # no two-back frame to revert to
+                if d == 3:
+                    canvas = np.where(history[..., None], frames[-2], canvas)
+                elif d == 2:
+                    canvas = np.where(history[..., None], background, canvas)
+                background = canvas.copy()
             ih, iw = idx.shape
+            history = np.zeros((h, w), bool)
+            history[y0 : y0 + ih, x0 : x0 + iw] = True
             region = canvas[y0 : y0 + ih, x0 : x0 + iw]
-            saved = region.copy() if dispose == 3 else None
             rgba = np.concatenate(
                 [pal[idx], np.full((ih, iw, 1), 255, np.uint8)], -1
             )
@@ -466,12 +505,18 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
                 keep = (idx == transparent)[..., None]
                 rgba = np.where(keep, region, rgba)
             region[...] = rgba
+            if not frames and bgindex > 0:  # first frame only
+                fill = (
+                    np.array([0, 0, 0, 255], np.uint8)
+                    if gpal is None or bgindex >= len(gpal)
+                    else np.concatenate([gpal[bgindex][::-1], [255]]).astype(
+                        np.uint8
+                    )
+                )
+                canvas[~history] = fill
             frames.append(canvas.copy())
             delays.append(delay_cs * 10)
-            if dispose == 2:  # restore to background = transparent black
-                region[...] = 0
-            elif dispose == 3 and saved is not None:
-                region[...] = saved
+            prev_dispose = dispose
     except (IndexError, struct.error) as e:
         raise FormatError(f"truncated GIF: {e}") from e
     if not frames:
@@ -480,14 +525,15 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, list[int]]:
 
 
 def _gif_walk(data: bytes):
-    """Yield ``(w, h, (x0, y0, idx, pal, transparent, delay_cs, dispose))``
-    per image block; the graphic-control state resets after each image per
-    the 89a spec."""
+    """Yield ``(w, h, (bgindex, gpal),
+    (x0, y0, idx, pal, transparent, delay_cs, dispose))`` per image block;
+    the graphic-control state resets after each image per the 89a spec."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise FormatError("not a GIF")
     w, h = struct.unpack("<HH", data[6:10])
     check_dims(w, h)
     flags = data[10]
+    bgindex = data[11]
     pos = 13
     gpal = None
     if flags & 0x80:
@@ -544,7 +590,9 @@ def _gif_walk(data: bytes):
                 )
                 de[rows] = idx
                 idx = de
-            yield w, h, (x0, y0, idx, pal, transparent, delay_cs, dispose)
+            yield w, h, (bgindex, gpal), (
+                x0, y0, idx, pal, transparent, delay_cs, dispose,
+            )
             transparent = None
             delay_cs = 0
             dispose = 0

@@ -180,7 +180,12 @@ def test_bmp_16bit_bitfields(rng):
     )
     masks = b"".join(m.to_bytes(4, "little") for m in (0xF800, 0x07E0, 0x001F))
     got = decode_bmp(hdr + dib + masks + rowbytes)
-    r = ((px >> 11) & 31).astype(np.uint32) * 255 // 31
-    g = ((px >> 5) & 63).astype(np.uint32) * 255 // 63
-    b_ = (px & 31).astype(np.uint32) * 255 // 31
+    # stb's stbi__shiftsigned bit-replication (stb_image.h:5331-5348),
+    # NOT (v*255)//maxv — they differ by 1 LSB on some values
+    r5 = ((px >> 11) & 31).astype(np.uint32)
+    g6 = ((px >> 5) & 63).astype(np.uint32)
+    b5 = (px & 31).astype(np.uint32)
+    r = (r5 << 3) | (r5 >> 2)
+    g = (g6 << 2) | (g6 >> 4)
+    b_ = (b5 << 3) | (b5 >> 2)
     np.testing.assert_array_equal(got, np.stack([r, g, b_], -1).astype(np.uint8))

@@ -185,11 +185,11 @@ def test_pnm16_native_and_rescaled(rng):
     arr16 = rng.integers(0, 65536, size=(5, 4, 3), dtype=np.uint16)
     data = b"P6\n4 5\n65535\n" + arr16.astype(">u2").tobytes()
     np.testing.assert_array_equal(decode_pnm16(data), arr16)
-    # maxval 1023 rescales to the full 16-bit range
+    # stb ignores the header maxval for scaling (stbi__pnm_load reads
+    # raw samples): maxval 1023 data comes back verbatim, not rescaled
     arr10 = rng.integers(0, 1024, size=(5, 4, 3), dtype=np.uint16)
     data = b"P6\n4 5\n1023\n" + arr10.astype(">u2").tobytes()
-    want = (arr10.astype(np.uint32) * 65535 // 1023).astype(np.uint16)
-    np.testing.assert_array_equal(decode_pnm16(data), want)
+    np.testing.assert_array_equal(decode_pnm16(data), arr10)
 
 
 def test_psd16_native(rng):
@@ -337,3 +337,148 @@ def test_flip_vertical_load_and_write(tmp_path, rng):
     np.testing.assert_array_equal(
         read_image_16(p, flip_vertical=True), arr.astype(np.uint16) * 257
     )
+
+
+# ------------------------------------------------ stb disposal semantics
+#
+# PIL's dispose-2 clears to transparent; stb restores the canvas snapshot
+# taken before the disposed frame drew (stb_image.h:6743-6750).  These
+# hand-built GIFs pin the stb behavior (round-3 advisor finding).
+
+
+def _lzw_min(pixels, min_code):
+    """Minimal GIF LZW: CLEAR after every literal keeps the code width
+    fixed at min_code+1 bits."""
+    clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    out, acc, nbits = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for p in pixels:
+        emit(int(p))
+        emit(clear)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _raw_gif(w, h, gpal, frames, bgindex=0):
+    """frames: [(x0, y0, idx2d, dispose, transparent_or_None), ...]"""
+    szbits = max(0, (len(gpal) - 1).bit_length() - 1)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out += bytes([0x80 | szbits, bgindex, 0]) + bytes(gpal.flatten())
+    min_code = max(2, szbits + 1)
+    for x0, y0, idx, dispose, transparent in frames:
+        out += bytes([
+            0x21, 0xF9, 4,
+            (dispose << 2) | (1 if transparent is not None else 0),
+            0, 0, transparent or 0, 0,
+        ])
+        fh, fw = idx.shape
+        out += bytes([0x2C]) + struct.pack("<HHHH", x0, y0, fw, fh)
+        out += bytes([0, min_code])
+        lzw = _lzw_min(idx.flatten(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+_GPAL4 = np.array(
+    [[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]], np.uint8
+)
+
+
+def test_gif_dispose2_restores_canvas_snapshot():
+    full = np.ones((8, 8), np.uint8)  # palette 1 everywhere
+    sub = np.full((4, 4), 2, np.uint8)
+    tiny = np.full((2, 2), 3, np.uint8)
+    data = _raw_gif(8, 8, _GPAL4, [
+        (0, 0, full, 1, None),
+        (2, 2, sub, 2, None),
+        (0, 0, tiny, 0, None),
+    ])
+    frames, _ = decode_gif_frames(data)
+    assert frames.shape == (3, 8, 8, 4)
+    assert (frames[1, 2:6, 2:6, :3] == [0, 200, 0]).all()
+    # the dispose-2 frame's rect reverts to frame 0's pixels (the canvas
+    # snapshot), NOT transparent black
+    assert (frames[2, 2:6, 2:6, :3] == [200, 0, 0]).all()
+    assert (frames[2, 2:6, 2:6, 3] == 255).all()
+    assert (frames[2, :2, :2, :3] == [0, 0, 200]).all()
+
+
+def test_gif_dispose3_restores_two_back():
+    f0 = np.ones((6, 6), np.uint8)
+    f1 = np.full((6, 6), 2, np.uint8)
+    tiny = np.full((2, 2), 3, np.uint8)
+    data = _raw_gif(6, 6, _GPAL4, [
+        (0, 0, f0, 1, None),
+        (0, 0, f1, 3, None),
+        (0, 0, tiny, 0, None),
+    ])
+    frames, _ = decode_gif_frames(data)
+    # frame 1 (dispose 3) is undone to the frame-0 composite before
+    # frame 2 draws
+    assert (frames[2, 3:, 3:, :3] == [200, 0, 0]).all()
+    assert (frames[2, :2, :2, :3] == [0, 0, 200]).all()
+
+
+def test_gif_dispose3_without_two_back_remaps_to_2():
+    f0 = np.ones((4, 4), np.uint8)
+    tiny = np.full((2, 2), 2, np.uint8)
+    data = _raw_gif(4, 4, _GPAL4, [
+        (0, 0, f0, 3, None),       # dispose 3 but no two-back frame
+        (1, 1, tiny, 0, None),
+    ])
+    frames, _ = decode_gif_frames(data)
+    # stb_image.h:6733-6735: falls back to dispose 2 = restore to the
+    # (initially transparent) background
+    assert (frames[1, 0, 0] == [0, 0, 0, 0]).all()
+    assert (frames[1, 1:3, 1:3, :3] == [0, 200, 0]).all()
+
+
+def test_gif_first_frame_bgindex_fill_stb_quirk():
+    tiny = np.full((2, 2), 3, np.uint8)
+    data = _raw_gif(8, 8, _GPAL4, [(0, 0, tiny, 0, None)], bgindex=1)
+    frames, _ = decode_gif_frames(data)
+    # raster-untouched first-frame pixels get the palette row copied the
+    # way stb memcpys its BGR-stored table (stb_image.h:6817-6824):
+    # palette entry 1 = (200, 0, 0) lands channel-swapped as (0, 0, 200)
+    np.testing.assert_array_equal(
+        frames[0, 5, 5], np.array([0, 0, 200, 255], np.uint8)
+    )
+    # the drawn rect itself keeps RGB order (palette 3 = (0, 0, 200))
+    assert (frames[0, 0:2, 0:2, :3] == [0, 0, 200]).all()
+    assert (frames[0, 0:2, 0:2, 3] == 255).all()
+
+
+def test_pnm_16bit_narrows_with_shift8():
+    """stb narrows 16->8 with a plain >>8 (stbi__convert_16_to_8), not
+    *255//maxval: v=256 at maxval=65535 must come back 1, not 0."""
+    from lanczos_tpu.io.formats import decode_pnm
+
+    arr = np.array([[[256, 257, 65535]]], np.uint16)
+    data = b"P6\n1 1\n65535\n" + arr.astype(">u2").tobytes()
+    np.testing.assert_array_equal(
+        decode_pnm(data), (arr >> 8).astype(np.uint8)
+    )
+
+
+def test_pnm_maxval_over_65535_rejected():
+    from lanczos_tpu.io.formats import FormatError, decode_pnm
+
+    data = b"P5\n1 1\n65536\n" + b"\0\0"
+    with pytest.raises(FormatError):
+        decode_pnm(data)
