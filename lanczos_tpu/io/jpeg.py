@@ -246,7 +246,16 @@ def _decode_progressive(lib, data, pos, frame, quant, hc, hv, restart,
     n = len(data)
     saw_scan = False
     while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill bytes between segments (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone markers
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xD9:  # EOI

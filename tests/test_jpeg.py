@@ -180,3 +180,42 @@ def test_jpeg_probe_cmyk_reports_decoded_channels(rng):
     info = probe_image(data)
     assert info.channels == 3
     assert decode(data).shape == (16, 20, 3)
+
+
+def test_jpeg_progressive_fill_bytes_between_scans(rng):
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a marker;
+    the inter-scan walk must skip them instead of misparsing a garbage
+    segment length (round-3 advisor finding, jpeg.py:206)."""
+    arr = rng.integers(0, 256, (48, 40, 3), np.uint8)
+    buf = io.BytesIO()
+    PIL.fromarray(arr).save(buf, format="JPEG", progressive=True)
+    data = buf.getvalue()
+    want = decode(data)
+
+    # inject fill bytes AFTER each inter-scan DHT segment's body: the walk
+    # advances pos += 2 + seglen past a DHT and lands directly on the fill
+    # (fills after entropy data are already handled by _next_marker)
+    import struct as _struct
+
+    sos = data.index(b"\xff\xda")
+    out = bytearray()
+    prev = 0
+    count = 0
+    i = sos
+    while True:
+        j = data.find(b"\xff\xc4", i + 2)
+        if j < 0:
+            break
+        (seglen,) = _struct.unpack(">H", data[j + 2 : j + 4])
+        seg_end = j + 2 + seglen
+        out += data[prev:seg_end] + b"\xff" * 3
+        prev = seg_end
+        i = j
+        count += 1
+    out += data[prev:]
+    if count == 0:
+        import pytest
+
+        pytest.skip("PIL emitted no inter-scan DHT to pad")
+    got = decode(bytes(out))
+    np.testing.assert_array_equal(got, want)
