@@ -652,20 +652,69 @@ def encode_bmp(img: np.ndarray) -> bytes:
             + info + data)
 
 
-def encode_tga(img: np.ndarray) -> bytes:
-    """TGA: uncompressed type 3 (gray) or type 2 (BGR/BGRA), top-left origin."""
+def _tga_rle_row(row: np.ndarray) -> bytes:
+    """One row of TGA RLE packets, byte-identical to stb's encoder
+    (``stb_image_write.h:550-604``), including its raw-run scan that
+    compares pixels two apart (``prev`` lags ``k`` by 2) and shrinks the
+    raw packet by one when it trips.  Packets never cross rows and hold
+    at most 128 pixels."""
+    w = len(row)
+    eq1 = np.zeros(w, bool)
+    if w > 1:
+        eq1[: w - 1] = (row[1:] == row[:-1]).all(axis=1)
+    eq2 = np.zeros(w, bool)
+    if w > 2:
+        eq2[: w - 2] = (row[2:] == row[:-2]).all(axis=1)
+    out = bytearray()
+    i = 0
+    while i < w:
+        ln, diff = 1, True
+        if i < w - 1:
+            ln = 2
+            diff = not eq1[i]
+            k = i + 2
+            if diff:
+                while k < w and ln < 128:
+                    if not eq2[k - 2]:
+                        ln += 1
+                        k += 1
+                    else:
+                        ln -= 1
+                        break
+            else:
+                while k < w and ln < 128 and eq1[k - 1]:
+                    ln += 1
+                    k += 1
+        if diff:
+            out.append(ln - 1)
+            out += row[i : i + ln].tobytes()
+        else:
+            out.append(128 + ln - 1)
+            out += row[i].tobytes()
+        i += ln
+    return bytes(out)
+
+
+def encode_tga(img: np.ndarray, rle: bool = True) -> bytes:
+    """TGA, byte-identical to ``stbi_write_tga``: RLE by default
+    (``stbi_write_tga_with_rle`` defaults to 1, ``stb_image_write.h:68``),
+    type 11 (gray) / 10 (BGR/BGRA); ``rle=False`` gives the uncompressed
+    type 3 / 2 variant.  Rows are written bottom-up with a bottom-left
+    descriptor, as stb does (``vdir = -1``)."""
     img = _norm_img(img)
     h, w, c = img.shape
     if c == 1:
-        imgtype, bpp, px = 3, 8, img[:, :, 0]
+        imgtype, bpp, px = 3, 8, img[:, :, :1]
     else:
         imgtype, bpp = 2, c * 8
         px = img[:, :, [2, 1, 0, 3][:c]]  # RGB(A) -> BGR(A)
-    # descriptor bit 5 = top-left origin; bits 0-3 = alpha depth
-    desc = 0x20 | (8 if c == 4 else 0)
-    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, imgtype, 0, 0, 0, 0, 0, w, h,
-                      bpp, desc)
-    return hdr + np.ascontiguousarray(px).tobytes()
+    desc = 8 if c == 4 else 0  # bottom-left origin; bits 0-3 = alpha depth
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, imgtype + (8 if rle else 0),
+                      0, 0, 0, 0, 0, w, h, bpp, desc)
+    px = np.ascontiguousarray(px)
+    if not rle:
+        return hdr + px[::-1].tobytes()
+    return hdr + b"".join(_tga_rle_row(px[y]) for y in range(h - 1, -1, -1))
 
 
 def encode_pnm(img: np.ndarray) -> bytes:
