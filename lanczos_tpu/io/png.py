@@ -212,6 +212,7 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
     palette = None
     trns = None
     idat = []
+    is_iphone = False
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
@@ -221,6 +222,8 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
             trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat.append(body)
+        elif ctype == b"CgBI":  # iPhone PNG (stb_image.h:5043-5046)
+            is_iphone = True
     if ihdr is None or not idat:
         raise PNGError("missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
@@ -240,7 +243,13 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
     # palette indices always decode as 8-bit; promotion happens after lookup
     w16 = want16 and color != 3
     sdt = np.uint16 if w16 else np.uint8
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    blob = b"".join(idat)
+    # CgBI strips the zlib header/adler — raw deflate (stb inflates with
+    # parse_header = !is_iphone, stb_image.h:5143)
+    raw = np.frombuffer(
+        zlib.decompress(blob, -15) if is_iphone else zlib.decompress(blob),
+        np.uint8,
+    )
     if interlace == 0:
         stride, bpp = geom(w)
         if raw.size != h * (stride + 1):
@@ -300,7 +309,42 @@ def _decode(data: bytes, want16: bool) -> np.ndarray:
         full = np.array(65535 if want16 else 255, img.dtype)
         alpha = np.where(match, img.dtype.type(0), full)
         img = np.concatenate([img, alpha[..., None]], axis=2)
+    if is_iphone and _de_iphone_flag and img.shape[-1] > 2:
+        img = _de_iphone(img)
     return np.ascontiguousarray(img)
+
+
+# stb's iPhone-PNG post-processing flags (stbi_convert_iphone_png_to_rgb /
+# stbi_set_unpremultiply_on_load, stb_image.h:4941-4949).  Both default
+# OFF exactly as in stb: a CgBI file then decodes to its on-disk BGR,
+# premultiplied-alpha samples.
+_de_iphone_flag = False
+_unpremultiply_on_load = False
+
+
+def convert_iphone_png_to_rgb(flag: bool) -> None:
+    global _de_iphone_flag
+    _de_iphone_flag = bool(flag)
+
+
+def set_unpremultiply_on_load(flag: bool) -> None:
+    global _unpremultiply_on_load
+    _unpremultiply_on_load = bool(flag)
+
+
+def _de_iphone(img: np.ndarray) -> np.ndarray:
+    """BGR→RGB swap (+ optional round-to-nearest unpremultiply at 4
+    channels), matching ``stbi__de_iphone`` (stb_image.h:4978-5020)."""
+    img = img[..., [2, 1, 0, 3][: img.shape[-1]]].astype(img.dtype)
+    if img.shape[-1] == 4 and _unpremultiply_on_load:
+        a = img[..., 3].astype(np.uint32)
+        rgb = img[..., :3].astype(np.uint32)
+        un = ((rgb * 255 + (a // 2)[..., None]) // np.maximum(a, 1)[..., None])
+        img = img.copy()
+        img[..., :3] = np.where(
+            (a > 0)[..., None], un, rgb
+        ).astype(img.dtype)
+    return img
 
 
 def _filter_scanlines_numpy(img2d: np.ndarray, bpp: int) -> bytes:

@@ -188,3 +188,85 @@ def test_color_key_transparency(rng):
     np.testing.assert_array_equal(
         d16[..., 1], np.where(m, 0, 65535).astype(np.uint16)
     )
+
+
+# ----------------------------------------------------- iPhone CgBI PNGs
+
+
+def _cgbi_png(arr, raw_deflate=True):
+    """Hand-built iPhone-style PNG: CgBI chunk before IHDR, IDAT holding
+    a raw (headerless) deflate stream, samples already in BGR(A) order as
+    Xcode's pngcrush emits them."""
+    import struct as _s
+    import zlib as _z
+
+    h, w, c = arr.shape
+    color = {3: 2, 4: 6}[c]
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    co = _z.compressobj(6, _z.DEFLATED, -15 if raw_deflate else 15)
+    comp = co.compress(rows) + co.flush()
+
+    def chunk(t, body):
+        return (
+            _s.pack(">I", len(body)) + t + body
+            + _s.pack(">I", _z.crc32(t + body))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"CgBI", b"\x50\x00\x20\x06")
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_cgbi_decodes_raw_deflate(rng):
+    """stb accepts CgBI PNGs by inflating the IDAT without a zlib header
+    (stb_image.h:5143) and, by default, returns the on-disk BGR samples
+    untouched (stbi__de_iphone_flag defaults 0)."""
+    bgr = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    got = decode(_cgbi_png(bgr))
+    np.testing.assert_array_equal(got, bgr)
+
+
+def test_cgbi_convert_to_rgb_and_unpremultiply(rng):
+    from lanczos_tpu.io.png import (
+        convert_iphone_png_to_rgb,
+        set_unpremultiply_on_load,
+    )
+
+    bgra = rng.integers(0, 256, (4, 7, 4), dtype=np.uint8)
+    # make it validly premultiplied: channel <= alpha
+    bgra[..., :3] = np.minimum(bgra[..., :3], bgra[..., 3:4])
+    data = _cgbi_png(bgra)
+    try:
+        convert_iphone_png_to_rgb(True)
+        got = decode(data)
+        np.testing.assert_array_equal(got, bgra[..., [2, 1, 0, 3]])
+        set_unpremultiply_on_load(True)
+        got = decode(data)
+        a = bgra[..., 3].astype(np.uint32)
+        rgb = bgra[..., [2, 1, 0]].astype(np.uint32)
+        want = np.where(
+            (a > 0)[..., None],
+            (rgb * 255 + (a // 2)[..., None]) // np.maximum(a, 1)[..., None],
+            rgb,
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(got[..., :3], want)
+        np.testing.assert_array_equal(got[..., 3], bgra[..., 3])
+    finally:
+        convert_iphone_png_to_rgb(False)
+        set_unpremultiply_on_load(False)
+
+
+def test_non_cgbi_png_still_requires_zlib_header(rng):
+    """A normal PNG whose IDAT is raw deflate must still fail: the
+    headerless path is gated on the CgBI chunk."""
+    arr = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    data = _cgbi_png(arr)
+    # strip the CgBI chunk -> plain PNG with an invalid zlib stream
+    plain = data[:8] + data[8 + 12 + 4 :]
+    with pytest.raises(ValueError):
+        decode(plain)
