@@ -96,3 +96,60 @@ def test_streaming_mxu_gates():
     )
     with pytest.raises(NotImplementedError):
         StreamingUpscaler(drop, chunk_rows=32, chunk_backend="mxu")
+
+
+def test_chunks_pipelined_matches_serial(rng):
+    """depth>1 + threaded prefetch must be byte-identical to the serial
+    path, yield in order, and call get_rows in ascending-row order from
+    one thread at a time (round-3 verdict #4)."""
+    import threading
+
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.streaming import StreamingUpscaler
+
+    img = rng.integers(0, 256, size=(96, 40, 3), dtype=np.uint8)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (96, 40), scale=(3, 2), a=3
+    )
+    s = StreamingUpscaler(cfg, chunk_rows=24)
+
+    calls = []
+    lock = threading.Lock()
+    busy = [False]
+
+    def get_rows(lo, hi):
+        with lock:
+            assert not busy[0], "get_rows re-entered concurrently"
+            busy[0] = True
+        calls.append((lo, hi))
+        rows = img[lo:hi]
+        with lock:
+            busy[0] = False
+        return rows
+
+    serial = list(s.chunks(lambda lo, hi: img[lo:hi], depth=1,
+                           prefetch=False))
+    piped = list(s.chunks(get_rows, depth=3, prefetch=True))
+    assert [y for y, _ in piped] == [y for y, _ in serial]
+    for (y0a, a), (y0b, b) in zip(serial, piped):
+        np.testing.assert_array_equal(a, b)
+    los = [lo for lo, _ in calls]
+    assert los == sorted(los)
+
+
+def test_chunks_pipelined_resume(rng):
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.models.streaming import StreamingUpscaler
+
+    img = rng.integers(0, 256, size=(64, 32, 3), dtype=np.uint8)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (64, 32), scale=(2, 1), a=2
+    )
+    s = StreamingUpscaler(cfg, chunk_rows=32)
+    full = list(s.chunks(lambda lo, hi: img[lo:hi], depth=2))
+    resumed = list(
+        s.chunks(lambda lo, hi: img[lo:hi], start_chunk=2, depth=2)
+    )
+    assert [y for y, _ in resumed] == [y for y, _ in full][2:]
+    for (_, a), (_, b) in zip(full[2:], resumed):
+        np.testing.assert_array_equal(a, b)
