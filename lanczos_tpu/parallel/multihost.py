@@ -30,8 +30,18 @@ def initialize(
     """jax.distributed.initialize wrapper (no-op if already initialized).
 
     With no arguments, relies on the cluster environment (TPU pods
-    auto-discover via the metadata service).
+    auto-discover via the metadata service).  On the CPU backend,
+    cross-process collectives need an implementation selected before
+    backend init — Gloo is configured here (guarded: older jax versions
+    without the option just skip it).
     """
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

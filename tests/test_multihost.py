@@ -36,3 +36,82 @@ def test_mesh_divisibility_error():
 def test_scaling_efficiency():
     assert scaling_efficiency(800.0, 100.0, 8) == 1.0
     assert scaling_efficiency(680.0, 100.0, 8) == pytest.approx(0.85)
+
+
+_DCN_WORKER = r'''
+import os, sys
+pid, nproc, port, outdir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+)
+import jax
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from lanczos_tpu.parallel.multihost import initialize, dcn_aware_mesh
+initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+import numpy as np
+from lanczos_tpu.core.config import Profile, ResampleConfig
+from lanczos_tpu.parallel.sharded import ShardedUpscaler
+from lanczos_tpu.models.upscaler import Upscaler
+
+mesh = dcn_aware_mesh(rows_per_host=2)  # data spans the 2 processes (DCN)
+assert dict(mesh.shape) == {"data": 2, "rows": 2}
+in_h, w = 32, 24
+cfg = ResampleConfig.from_profile(Profile.PRECISE, (in_h, w), scale=(2, 1), a=2)
+model = ShardedUpscaler(cfg, mesh)
+rng = np.random.default_rng(0)
+img = rng.integers(0, 256, (4, in_h, w, 3), np.uint8)
+out = model(img)
+ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+ok = all(
+    np.array_equal(np.asarray(s.data), ref[s.index])
+    for s in out.addressable_shards
+) and len(out.addressable_shards) > 0
+with open(os.path.join(outdir, f"result_{pid}"), "w") as f:
+    f.write("PASS" if ok else "FAIL")
+'''
+
+
+def test_two_process_dcn_sharded_upscaler(tmp_path):
+    """The real multi-process exercise (round-3 verdict #5): two CPU
+    processes under jax.distributed (local coordinator, Gloo cross-process
+    collectives), a dcn_aware_mesh whose data axis spans the processes,
+    and a ShardedUpscaler step asserted bit-equal to the single-process
+    xla backend on every addressable shard."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_DCN_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # hermetic: the repo on the path, any device-backend site hook off it
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", str(port),
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("2-process DCN run timed out")
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    for pid in range(2):
+        assert (tmp_path / f"result_{pid}").read_text() == "PASS"
