@@ -62,6 +62,34 @@ def choose_mesh_shape(n_devices: int) -> Tuple[int, int]:
     return n_devices, 1
 
 
+def halo_permutes(x: jnp.ndarray, halo: int, axis_name: str, axis: int = 1):
+    """Issue the two ring ppermutes and return ``(top, bot)`` halo strips.
+
+    Returning the strips *before* any concatenation keeps compute that
+    does not depend on them (the interior rows) free of a data dependency
+    on the collectives, so XLA's async collective-permute can run them
+    while interior compute proceeds (the inter-chip DATAFLOW overlap,
+    SURVEY.md §7 "halo exchange overlap").
+    """
+    n = jax.lax.axis_size(axis_name)
+
+    def take(lo, hi):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(lo, hi)
+        return x[tuple(sl)]
+
+    if n == 1 or halo == 0:
+        shape = list(x.shape)
+        shape[axis] = halo
+        z = jnp.zeros(shape, x.dtype)
+        return z, z
+    fwd = [(i, (i + 1) % n) for i in range(n)]  # send down: my tail → next's top
+    bwd = [(i, (i - 1) % n) for i in range(n)]  # send up: my head → prev's bottom
+    top = jax.lax.ppermute(take(-halo, None), axis_name, fwd)
+    bot = jax.lax.ppermute(take(0, halo), axis_name, bwd)
+    return top, bot
+
+
 def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, axis: int = 1):
     """Concatenate each shard's row block with `halo` rows from ring neighbors.
 
@@ -70,21 +98,7 @@ def halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str, axis: int = 1)
     the first/last shard are garbage by construction and are provably never
     read (gather indices are globally edge-resolved before rebasing).
     """
-    n = jax.lax.axis_size(axis_name)
-    if n == 1 or halo == 0:
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (halo, halo)
-        return jnp.pad(x, pad)
-    fwd = [(i, (i + 1) % n) for i in range(n)]  # send down: my tail → next's top
-    bwd = [(i, (i - 1) % n) for i in range(n)]  # send up: my head → prev's bottom
-
-    def take(lo, hi):
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(lo, hi)
-        return x[tuple(sl)]
-
-    top = jax.lax.ppermute(take(-halo, None), axis_name, fwd)
-    bot = jax.lax.ppermute(take(0, halo), axis_name, bwd)
+    top, bot = halo_permutes(x, halo, axis_name, axis)
     return jnp.concatenate([top, x, bot], axis=axis)
 
 
@@ -103,10 +117,12 @@ class ShardedUpscaler:
         rows_axis: str = "rows",
         dtype=jnp.float32,
         backend: str = "auto",
+        overlap: bool = True,
     ):
         if backend not in ("auto", "mxu", "gather"):
             raise ValueError(f"unknown sharded backend {backend!r}")
         self._backend_req = backend
+        self.overlap = overlap
         self.cfg = cfg
         self.mesh = mesh
         self.data_axis = data_axis
@@ -249,6 +265,7 @@ class ShardedUpscaler:
                 put_tbl(self.ops.op_v.idx),
                 put_tbl(np.asarray(self.ops.op_v.weights, self._np_dtype())),
             )
+            self._compute_split_bounds()
             shard_fn = self._shard_fn
             tbl_specs = (spec_tbl,) * 2
 
@@ -279,6 +296,49 @@ class ShardedUpscaler:
                 "output rows ≡ 0 (mod N), height-first nonlinearities, "
                 "and a VMEM-feasible uniform per-shard plan"
             )
+
+    def _compute_split_bounds(self) -> None:
+        """Shard-invariant statics for the interior/boundary split of the
+        gather vertical pass (the halo-overlap structure, SURVEY.md §7):
+
+        - ``b_top``/``b_bot``: max over shards of leading/trailing local
+          output rows whose tap window leaves the local row slab (these
+          depend on the ppermuted halos);
+        - ``wtop``/``wbot``: local input rows the boundary windows must
+          carry beyond the halo strips.
+
+        Interior rows [b_top, ol − b_bot) provably gather from the local
+        slab alone on EVERY shard, so their compute carries no data
+        dependency on the collectives.  Disabled (``b_top = −1``) when a
+        boundary set is non-contiguous or the interior would be empty.
+        """
+        idxg = np.asarray(self.ops.op_v.idx)
+        ol, il, R = self.out_h_local, self.in_h_local, self.rows_n
+        b_top = b_bot = 0
+        wtop = wbot = 1
+        ok = True
+        for rr in range(R):
+            lo_r = idxg[rr * ol : (rr + 1) * ol].min(axis=1) - rr * il
+            hi_r = idxg[rr * ol : (rr + 1) * ol].max(axis=1) - rr * il
+            need_top = lo_r < 0
+            need_bot = hi_r >= il
+            t, b = int(need_top.sum()), int(need_bot.sum())
+            if need_top[t:].any() or (b and need_bot[: ol - b].any()):
+                ok = False  # non-contiguous boundary set
+                break
+            b_top, b_bot = max(b_top, t), max(b_bot, b)
+        if ok and b_top + b_bot < ol:
+            for rr in range(R):
+                hi_r = idxg[rr * ol : (rr + 1) * ol].max(axis=1) - rr * il
+                lo_r = idxg[rr * ol : (rr + 1) * ol].min(axis=1) - rr * il
+                if b_top:
+                    wtop = max(wtop, int(hi_r[:b_top].max()) + 1)
+                if b_bot:
+                    wbot = max(wbot, il - int(lo_r[ol - b_bot :].min()))
+            self.b_top, self.b_bot = b_top, b_bot
+            self.wtop, self.wbot = min(wtop, il), min(wbot, il)
+        else:
+            self.b_top = -1  # overlap structurally unavailable
 
     def _setup_mxu(self, interpret: bool) -> None:
         """Build the per-shard MXU plans, or leave use_mxu = False.
@@ -364,12 +424,23 @@ class ShardedUpscaler:
         """x: (B_local, h_local, W, C) uint8; wv_*: this shard's stacks."""
         from lanczos_tpu.ops.resample_pallas import _fused_call_mxu
 
-        ext = halo_exchange_rows(x, self.halo, self.rows_axis, axis=1)
-        b, he, w, c = ext.shape
-        planar = jnp.transpose(ext, (0, 3, 1, 2)).reshape(b * c, he, w)
-        y = _fused_call_mxu(self._mxu, planar, wv=(wv_hi[0], wv_lo[0]))
-        y = y.reshape(b, c, *self._mxu.cfg.out_shape)
-        return jnp.transpose(y, (0, 2, 3, 1))
+        def one(group):
+            ext = halo_exchange_rows(group, self.halo, self.rows_axis, axis=1)
+            b, he, w, c = ext.shape
+            planar = jnp.transpose(ext, (0, 3, 1, 2)).reshape(b * c, he, w)
+            y = _fused_call_mxu(self._mxu, planar, wv=(wv_hi[0], wv_lo[0]))
+            y = y.reshape(b, c, *self._mxu.cfg.out_shape)
+            return jnp.transpose(y, (0, 2, 3, 1))
+
+        if not self.overlap or x.shape[-1] < 2:
+            return one(x)
+        # the fused kernel consumes the whole halo-extended buffer in one
+        # Pallas call, so the interior/boundary split cannot thread
+        # through it; two channel groups give the DATAFLOW overlap
+        # instead — group 2's ring exchange issues while group 1's kernel
+        # runs (async collective permute), bit-identical by construction
+        h = x.shape[-1] // 2
+        return jnp.concatenate([one(x[..., :h]), one(x[..., h:])], axis=-1)
 
     def _np_dtype(self):
         return np.dtype(jnp.dtype(self.dtype).name)
@@ -471,13 +542,44 @@ class ShardedUpscaler:
         x = x.astype(self.dtype)
 
         def vpass_gather(v):
-            # halo exchange then locally-rebased banded gather (the
-            # communicating pass; the horizontal pass is row-local)
-            ext = halo_exchange_rows(v, self.halo, self.rows_axis, axis=1)
-            local_idx = idx_v - (r * self.in_h_local - self.halo)
-            return apply_banded(
-                ext, local_idx, w_v, axis=1, dering=cfg.dering
+            # the communicating pass (the horizontal pass is row-local).
+            # Overlapped default: issue the ring ppermutes, compute the
+            # halo-independent INTERIOR rows (no data dependency on the
+            # collectives, so async collective-permute runs underneath),
+            # then the b_top/b_bot boundary rows from halo+edge windows.
+            # Bit-identical to exchange-then-compute: same taps, same
+            # weights, same summation order, gathered from value-equal
+            # buffers.  (Reference analog: DATAFLOW stage overlap,
+            # lanczos.cpp:72-82.)
+            base = r * self.in_h_local
+            if not self.overlap or self.b_top < 0:
+                ext = halo_exchange_rows(v, self.halo, self.rows_axis, axis=1)
+                local_idx = idx_v - (base - self.halo)
+                return apply_banded(
+                    ext, local_idx, w_v, axis=1, dering=cfg.dering
+                )
+            top, bot = halo_permutes(v, self.halo, self.rows_axis, axis=1)
+            bt, bb = self.b_top, self.b_bot
+            il, ol = self.in_h_local, self.out_h_local
+            mid = apply_banded(
+                v, idx_v[bt : ol - bb] - base, w_v[bt : ol - bb],
+                axis=1, dering=cfg.dering,
             )
+            parts = []
+            if bt:
+                win = jnp.concatenate([top, v[:, : self.wtop]], axis=1)
+                parts.append(apply_banded(
+                    win, idx_v[:bt] - (base - self.halo), w_v[:bt],
+                    axis=1, dering=cfg.dering,
+                ))
+            parts.append(mid)
+            if bb:
+                win = jnp.concatenate([v[:, il - self.wbot :], bot], axis=1)
+                parts.append(apply_banded(
+                    win, idx_v[ol - bb :] - (base + il - self.wbot),
+                    w_v[ol - bb :], axis=1, dering=cfg.dering,
+                ))
+            return jnp.concatenate(parts, axis=1)
 
         def vpass_shift(v):
             # the ppermute halo doubles as the shift pass's support pad;
@@ -529,10 +631,21 @@ class ShardedUpscaler:
         def maybe_q(v):
             return quantize_uint8(v, self.dtype) if cfg.intermediate_quantize else v
 
-        if cfg.order == Order.WIDTH_FIRST:
-            out = vpass(maybe_q(hpass(x)))
+        def run(v):
+            if cfg.order == Order.WIDTH_FIRST:
+                return vpass(maybe_q(hpass(v)))
+            return hpass(maybe_q(vpass(v)))
+
+        if self.use_shift and self.overlap and x.shape[-1] >= 2:
+            # the shift formulation consumes the whole halo-extended
+            # buffer, so the interior/boundary split does not apply;
+            # instead, run two channel groups so the second group's ring
+            # exchange issues while the first group computes (channels
+            # are independent — bit-identical by construction)
+            h = x.shape[-1] // 2
+            out = jnp.concatenate([run(x[..., :h]), run(x[..., h:])], -1)
         else:
-            out = hpass(maybe_q(vpass(x)))
+            out = run(x)
         if was_int or cfg.intermediate_quantize:
             return quantize_uint8(out)
         return out

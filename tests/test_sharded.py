@@ -192,3 +192,54 @@ def test_sharded_mxu_gate():
     mesh = jax.make_mesh((1, 4), ("data", "rows"))
     with pytest.raises(NotImplementedError):
         ShardedUpscaler(cfg, mesh, backend="mxu")
+
+
+# ------------------------------------------- halo-overlap structure (r4)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(scale=(2, 1), a=2),
+        dict(scale=(3, 2), a=3),
+        dict(scale=(7, 3), a=3),
+        dict(scale=(2, 1), a=3, dering=True),
+        dict(scale=(1, 2), a=2),  # downscale: halo from d > n
+    ],
+)
+def test_gather_overlap_bit_identical_to_serial_exchange(rng, kw):
+    """The interior/boundary split (overlap=True, the default) must be
+    bit-identical to exchange-then-compute on every path and config."""
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    n, d = kw["scale"]
+    h = 48 if d == 3 else (128 if n < d else 64)
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (h, 24), **kw)
+    img = _img(rng, 2, h, 24)
+    a = np.asarray(ShardedUpscaler(cfg, mesh, backend="gather")(img))
+    b = np.asarray(
+        ShardedUpscaler(cfg, mesh, backend="gather", overlap=False)(img)
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_gather_overlap_split_bounds_sane(rng):
+    mesh = jax.make_mesh((1, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (64, 16), scale=(2, 1), a=3)
+    m = ShardedUpscaler(cfg, mesh, backend="gather")
+    assert m.b_top >= 0  # split available
+    ol = m.out_h_local
+    # interior dominates: boundary rows are O(a·N/D) each side
+    assert m.b_top + m.b_bot < ol // 2
+    # windows stay within halo+slab
+    assert 1 <= m.wtop <= m.in_h_local and 1 <= m.wbot <= m.in_h_local
+
+
+def test_mxu_overlay_channel_groups_bit_identical(rng):
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (64, 32), scale=(2, 1), a=3)
+    img = _img(rng, 2, 64, 32)
+    a = np.asarray(ShardedUpscaler(cfg, mesh, backend="mxu")(img))
+    b = np.asarray(
+        ShardedUpscaler(cfg, mesh, backend="mxu", overlap=False)(img)
+    )
+    np.testing.assert_array_equal(a, b)
