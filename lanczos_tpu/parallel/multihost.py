@@ -93,3 +93,55 @@ def scaling_efficiency(
 ) -> float:
     """Fraction of linear scaling achieved (BASELINE.md: ≥ 0.85 target)."""
     return total_mpix_s / (single_device_mpix_s * n_devices)
+
+
+def ici_halo_model(
+    cfg,
+    rows_n: int,
+    frame_s: float,
+    *,
+    channels: int = 3,
+    dtype_bytes: int = 1,
+    ici_bw: float = 9.0e10,
+    latency_s: float = 1.0e-6,
+    boundary_fraction: Optional[float] = None,
+) -> dict:
+    """Analytic ICI cost of the row-sharded halo exchange.
+
+    Makes the multi-chip perf story falsifiable without a multi-chip
+    machine: given the measured single-chip frame time ``frame_s``, the
+    model predicts per-step exchange cost and scaling efficiency from
+    first principles — bytes on the wire vs interior compute available to
+    hide them under (the sharded path's interior/boundary split issues
+    the ppermutes first and computes interior rows with no dependency on
+    them; ``parallel/sharded.py``).
+
+    Parameters mirror v5e ICI (~90 GB/s per direction per link by
+    default; pass your platform's numbers).  Returns a dict with:
+    ``halo_bytes`` (per direction per shard), ``t_halo_s`` (wire time,
+    both directions concurrent on a ring), ``t_shard_s`` (per-shard
+    compute), ``t_hidden_s`` (interior window the exchange can hide
+    under), ``exposed_s`` and ``efficiency``.
+    """
+    n, d = cfg.scale_h
+    halo = -(-cfg.a * d // n) if n < d else cfg.a
+    w = cfg.in_shape[1]
+    halo_bytes = halo * w * channels * dtype_bytes
+    t_halo = latency_s + halo_bytes / ici_bw
+    t_shard = frame_s / rows_n
+    if boundary_fraction is None:
+        # boundary rows per side ≈ output rows whose tap window leaves
+        # the local slab: ceil(a·N/D) at scale N/D
+        out_local = cfg.out_shape[0] / rows_n
+        boundary_fraction = min(1.0, 2 * -(-cfg.a * n // d) / out_local)
+    t_hidden = t_shard * (1.0 - boundary_fraction)
+    exposed = max(0.0, t_halo - t_hidden)
+    return {
+        "halo_rows": halo,
+        "halo_bytes": halo_bytes,
+        "t_halo_s": t_halo,
+        "t_shard_s": t_shard,
+        "t_hidden_s": t_hidden,
+        "exposed_s": exposed,
+        "efficiency": t_shard / (t_shard + exposed),
+    }

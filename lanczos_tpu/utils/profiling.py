@@ -77,6 +77,12 @@ def _force(out) -> None:
 
     leaves = jax.tree_util.tree_leaves(out)
     leaf = leaves[0]
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards:
+        # sharded outputs: indexing a scalar out of a sharded array is a
+        # ShardingTypeError in newer jax (ambiguous out sharding); one
+        # local shard's scalar is the same completion barrier
+        leaf = shards[0].data
     np.asarray(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 

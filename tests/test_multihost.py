@@ -115,3 +115,25 @@ def test_two_process_dcn_sharded_upscaler(tmp_path):
         assert p.returncode == 0, out[-2000:]
     for pid in range(2):
         assert (tmp_path / f"result_{pid}").read_text() == "PASS"
+
+
+def test_ici_halo_model():
+    """The analytic model: 4K→8K a=3 across 8 row shards, 0.58 ms/frame
+    single-chip — the halo is a·W·C bytes per direction and must hide
+    entirely under the interior window at v5e-class ICI bandwidth."""
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.parallel.multihost import ici_halo_model
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+    )
+    m = ici_halo_model(cfg, 8, 0.58e-3)
+    assert m["halo_rows"] == 3
+    assert m["halo_bytes"] == 3 * 3840 * 3  # ~34 KiB per direction
+    assert m["t_halo_s"] < 5e-6  # ~1.4 us wire + 1 us latency
+    # per-shard compute ~72 us dwarfs it: full hiding, eff ~= 1
+    assert m["exposed_s"] == 0.0
+    assert m["efficiency"] == 1.0
+    # a pathological setup (tiny shards, slow wire) must expose cost
+    m2 = ici_halo_model(cfg, 8, 1e-6, ici_bw=1e8, latency_s=1e-4)
+    assert 0 < m2["efficiency"] < 1.0
