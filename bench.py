@@ -110,6 +110,23 @@ def main():
     out_mpix = out_shape[0] * out_shape[1] / 1e6
     mpix_s = out_mpix / dt
 
+    # bf16 precision tier on the same methodology (planar, batch-amortized)
+    # — captured in the same JSON line so BENCH_r*.json records both tiers
+    dt16 = None
+    if model.backend == "pallas":
+        from lanczos_tpu.core.config import Precision
+        from lanczos_tpu.ops.resample_pallas import upscale_planar as _up
+
+        cfg16 = ResampleConfig.from_profile(
+            Profile.PRECISE, in_shape, out_shape=out_shape, a=a,
+            precision=Precision.BF16,
+        )
+        m16 = Upscaler(cfg16, backend="pallas")
+        fn16 = jax.jit(lambda x: _up(x, m16._ops))
+        out16 = fn16(img)
+        out16.block_until_ready()
+        dt16 = steady_time(fn16, img, iters=50, rb_cost=rb) / batch
+
     dev = jax.devices()[0]
     min_bytes = (in_shape[0] * in_shape[1] + out_shape[0] * out_shape[1]) * 3
     nominal_bw = peak_bw(dev)
@@ -125,11 +142,15 @@ def main():
         "vs_baseline": round(mpix_s / measured_roof, 4),
         "vs_nominal_roofline": round(mpix_s / nominal_roof, 4),
     }
+    if dt16 is not None:
+        result["bf16_mpix_s"] = round(out_mpix / dt16, 1)
+        result["bf16_vs_baseline"] = round(out_mpix / dt16 / measured_roof, 4)
     print(json.dumps(result))
     print(
         f"# backend={model.backend} device={dev.device_kind} "
         f"dt={dt*1e3:.2f}ms/frame (batch-{batch} amortized) "
-        f"measured_bw={real_bw/1e9:.0f}GB/s (nominal {nominal_bw/1e9:.0f}) "
+        + (f"bf16={dt16*1e3:.2f}ms/frame " if dt16 is not None else "")
+        + f"measured_bw={real_bw/1e9:.0f}GB/s (nominal {nominal_bw/1e9:.0f}) "
         f"measured_roofline={measured_roof:.0f}Mpix/s",
         file=sys.stderr,
     )
