@@ -1,0 +1,224 @@
+"""Hardware ablation probe for the fused bf16 MXU kernel (4K->8K a=3).
+
+Reproduces the docs/KERNEL.md §6.1 ceiling table on the real chip:
+
+    PYTHONPATH=/root/.axon_site:. python tools/ablate_mxu.py \
+        128:full 128:notrunc 128:stackh 128:manout 128:band3 \
+        96:full 64:full 240:full
+
+Each spec is ``tile:variant``; variants delete or restructure one stage
+of an exact replica of ops/resample_pallas.py's MXU kernel so the
+exposed cost of that stage is measurable.  Outputs are asserted equal
+to the ``full`` variant where semantics are unchanged.  TPU-only."""
+import functools, sys, time
+import numpy as np, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lanczos_tpu.core.config import Profile, ResampleConfig, Precision
+from lanczos_tpu.ops.resample_pallas import _mxu_plan, _split_bf16, _round_up
+from lanczos_tpu.utils.profiling import readback_cost, steady_time
+
+cfg = ResampleConfig.from_profile(
+    Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3,
+    precision=Precision.BF16,
+)
+OH, OW = cfg.out_shape
+IH, W = 2160, 3840
+
+
+def make_kernel(mx, variant):
+    def kernel(img_ref, wv, wh, out_ref, band, sems, stk):
+        n_i = mx.num_tiles
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        band_lin = c * n_i + i
+        bands_total = pl.num_programs(0) * n_i
+
+        def dma_for(band_idx, slot):
+            cc = band_idx // n_i
+            ii = band_idx % n_i
+            lo = ii * mx.tile_out
+            raw = (2 * lo * mx.dv + mx.off_v) // (2 * mx.nv) - mx.back_v
+            raw = jnp.clip(raw, 0, mx.ih_eff - mx.kv)
+            start = pl.multiple_of((raw // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                img_ref.at[cc, pl.ds(start, mx.kv), :],
+                band.at[pl.ds(slot * mx.kv, mx.kv)],
+                sems.at[slot],
+            )
+
+        nslots = 3 if variant == "band3" else 2
+        slot = band_lin % nslots
+
+        @pl.when(band_lin == 0)
+        def _():
+            dma_for(0, 0).start()
+            if nslots == 3:
+                dma_for(1, 1).start()
+                dma_for(2, 2).start()
+
+        if nslots == 3:
+            @pl.when((band_lin + 2 < bands_total) & (band_lin > 0))
+            def _():
+                dma_for(band_lin + 2, (band_lin + 2) % 3).start()
+        else:
+            @pl.when(band_lin + 1 < bands_total)
+            def _():
+                dma_for(band_lin + 1, (band_lin + 1) % 2).start()
+
+        dma_for(band_lin, slot).wait()
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        xb = band[pl.ds(pl.multiple_of(slot * mx.kv, 8), mx.kv)]
+        xb = xb.astype(jnp.int32).astype(jnp.bfloat16)
+        if variant == "bfmid":
+            m_hi = jnp.dot(wv[0], xb, preferred_element_type=jnp.bfloat16)
+        else:
+            mid = dot(wv[0], xb)
+            m_hi = mid.astype(jnp.bfloat16)
+        t = mx.tile_out
+        cb = mx.cb
+
+        def q(acc):
+            if variant == "notrunc":
+                return jnp.clip(acc, 0.0, 255.0).astype(jnp.int32).astype(
+                    jnp.uint8
+                )
+            return jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(
+                jnp.int32
+            ).astype(jnp.uint8)
+
+        if variant == "stackh":
+            groups = {}
+            for b in range(mx.n_cb):
+                groups.setdefault(mx.uniq_h[b], []).append(b)
+            for u, bs in groups.items():
+                if len(bs) == 1:
+                    b = bs[0]
+                    st = mx.starts_h[b]
+                    acc = dot(m_hi[:, st : st + mx.kh], wh[u])
+                    out_ref[0, :, b * cb : (b + 1) * cb] = q(acc)
+                    continue
+                for j, b in enumerate(bs):
+                    st = mx.starts_h[b]
+                    stk[pl.ds(j * t, t)] = m_hi[:, st : st + mx.kh]
+                xs = stk[pl.ds(0, len(bs) * t)]
+                acc = dot(xs, wh[u])
+                qa = q(acc)
+                for j, b in enumerate(bs):
+                    out_ref[0, :, b * cb : (b + 1) * cb] = qa[
+                        j * t : (j + 1) * t
+                    ]
+            return
+
+        if variant == "manout":
+            oslot = band_lin % 2
+
+            def ocopy(step):
+                cc = step // n_i
+                ii = step % n_i
+                return pltpu.make_async_copy(
+                    stk.at[step % 2],
+                    out_ref.at[cc, pl.ds(ii * t, t), :],
+                    sems.at[2 + step % 2],
+                )
+
+            @pl.when(band_lin >= 2)
+            def _():
+                ocopy(band_lin - 2).wait()
+
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                acc = dot(m_hi[:, st : st + mx.kh], wh[mx.uniq_h[b]])
+                stk[oslot, :, b * cb : (b + 1) * cb] = q(acc)
+            ocopy(band_lin).start()
+
+            @pl.when(band_lin == bands_total - 1)
+            def _():
+                ocopy(band_lin - 1).wait()
+                ocopy(band_lin).wait()
+            return
+
+        for b in range(mx.n_cb):
+            st = mx.starts_h[b]
+            acc = dot(m_hi[:, st : st + mx.kh], wh[b if False else mx.uniq_h[b]])
+            out_ref[0, :, b * cb : (b + 1) * cb] = q(acc)
+
+    return kernel
+
+
+def build(tile, variant):
+    mx = _mxu_plan(cfg, tile)
+    if mx is None:
+        print(f"tile {tile}: plan infeasible", flush=True)
+        return None, None
+    wv_hi, _ = _split_bf16(mx.wv)
+    wh_hi, _ = _split_bf16(mx.wh)
+    nu = wh_hi.shape[0]
+    w_eff = _round_up(W, 128)
+    nstack = max(
+        sum(1 for u in mx.uniq_h if u == uu) for uu in set(mx.uniq_h)
+    )
+    fn = pl.pallas_call(
+        make_kernel(mx, variant),
+        grid=(12, mx.num_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                (1, wv_hi.shape[1], mx.kv), lambda c, i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [
+            pl.BlockSpec(
+                (nu, mx.kh, wh_hi.shape[2]), lambda c, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY)
+            if variant == "manout"
+            else pl.BlockSpec(
+                (1, mx.tile_out, mx.n_cb * mx.cb), lambda c, i: (c, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ),
+        out_shape=jax.ShapeDtypeStruct((12, OH, OW), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM(((3 if variant == "band3" else 2) * mx.kv, w_eff), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
+            (
+                pltpu.VMEM((2, mx.tile_out, mx.n_cb * mx.cb), jnp.uint8)
+                if variant == "manout"
+                else pltpu.VMEM((nstack * mx.tile_out, mx.kh), jnp.bfloat16)
+            ),
+        ],
+    )
+    return jax.jit(lambda x: fn(x, wv_hi, wh_hi)), mx
+
+
+rng = np.random.default_rng(0)
+img = jnp.asarray(rng.integers(0, 256, (12, IH, W), np.uint8))
+rb = readback_cost()
+print(f"rb {rb*1e3:.0f} ms", flush=True)
+ref_out = None
+for spec in sys.argv[1:] or ["128:full"]:
+    tile_s, variant = spec.split(":")
+    fn, mx = build(int(tile_s), variant)
+    if fn is None:
+        continue
+    t0 = time.time()
+    out = fn(img)
+    out.block_until_ready()
+    print(f"{spec}: tile_out={mx.tile_out} ntiles={mx.num_tiles} "
+          f"compiled {time.time()-t0:.0f}s", flush=True)
+    if ref_out is None:
+        ref_out = np.asarray(out[0])
+    else:
+        same = np.array_equal(np.asarray(out[0]), ref_out)
+        print(f"{spec}: matches full: {same}", flush=True)
+    dt = steady_time(fn, img, iters=24, rb_cost=rb) / 4
+    print(f"{spec}: {dt*1e3:.3f} ms/frame", flush=True)
