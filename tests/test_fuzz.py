@@ -106,3 +106,39 @@ def test_mxu_variant_random_config(seed):
     ref = np.asarray(Upscaler(cfg, backend="xla")(img))
     diff = np.abs(ref.astype(int) - out.astype(int))
     assert diff.max() <= 1, f"seed {seed} cfg {cfg}: max diff {diff.max()}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_sharded_overlap_matches_serial_random_config(seed):
+    """The interior/boundary halo-overlap structure (round 4) vs the
+    serial exchange-then-compute path, across random configs and mesh
+    shapes — both must be bit-identical everywhere."""
+    import jax
+
+    from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+    rng = np.random.default_rng(3000 + seed)
+    n, d = SCALES[rng.integers(len(SCALES))]
+    R = int(rng.choice([2, 4]))
+    h = int(rng.integers(2, 5)) * d * n * R * 2
+    w = int(rng.integers(2, 5)) * d * 2
+    a = int(rng.integers(2, 4))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (h, w), scale=(n, d), a=a,
+        align="center" if rng.integers(2) else "zero",
+        edge_mode=EDGES[rng.integers(2)],  # clamp/drop
+        dering=bool(rng.integers(2)),
+        normalize=True,
+    )
+    img = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
+    mesh = jax.make_mesh((2, R), ("data", "rows"))
+    for backend in ("gather", "auto"):
+        a_out = np.asarray(
+            ShardedUpscaler(cfg, mesh, backend=backend)(img)
+        )
+        b_out = np.asarray(
+            ShardedUpscaler(cfg, mesh, backend=backend, overlap=False)(img)
+        )
+        np.testing.assert_array_equal(
+            a_out, b_out, err_msg=f"seed {seed} backend {backend}"
+        )
