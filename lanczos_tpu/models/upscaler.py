@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import threading
 from collections import OrderedDict
 from functools import partial
 from typing import Optional, Tuple
@@ -373,36 +374,50 @@ class _UpscalerCache:
         self._bytes = 0
         self._hits = 0
         self._misses = 0
+        # lru_cache (which this replaces) was thread-safe; keep that
+        # contract — concurrent upscale() calls must not corrupt the
+        # OrderedDict or drift the byte accounting.  Model construction
+        # happens outside the lock (it can take ~1 s / a remote compile).
+        self._lock = threading.Lock()
 
     def __call__(self, cfg: ResampleConfig, backend: str) -> Upscaler:
         key = (cfg, backend)
-        hit = self._data.get(key)
-        if hit is not None:
-            self._data.move_to_end(key)
-            self._hits += 1
-            return hit[0]
-        self._misses += 1
+        with self._lock:
+            hit = self._data.get(key)
+            if hit is not None:
+                self._data.move_to_end(key)
+                self._hits += 1
+                return hit[0]
+            self._misses += 1
         model = Upscaler(cfg, backend=backend)
         size = _device_table_bytes(model)
-        self._data[key] = (model, size)
-        self._bytes += size
-        while len(self._data) > 1 and (
-            len(self._data) > self.max_entries or self._bytes > self.max_bytes
-        ):
-            _, (_, evicted) = self._data.popitem(last=False)
-            self._bytes -= evicted
+        with self._lock:
+            race = self._data.get(key)
+            if race is not None:  # another thread built it first
+                self._data.move_to_end(key)
+                return race[0]
+            self._data[key] = (model, size)
+            self._bytes += size
+            while len(self._data) > 1 and (
+                len(self._data) > self.max_entries
+                or self._bytes > self.max_bytes
+            ):
+                _, (_, evicted) = self._data.popitem(last=False)
+                self._bytes -= evicted
         return model
 
     def cache_clear(self) -> None:
-        self._data.clear()
-        self._bytes = 0
-        self._hits = self._misses = 0
+        with self._lock:
+            self._data.clear()
+            self._bytes = 0
+            self._hits = self._misses = 0
 
     def cache_info(self):
-        return _CacheInfo(
-            self._hits, self._misses, self.max_entries, len(self._data),
-            self._bytes,
-        )
+        with self._lock:
+            return _CacheInfo(
+                self._hits, self._misses, self.max_entries,
+                len(self._data), self._bytes,
+            )
 
 
 _CacheInfo = collections.namedtuple(
