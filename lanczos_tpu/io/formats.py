@@ -155,6 +155,30 @@ def decode_bmp(data: bytes) -> np.ndarray:
         )
         chans = [_shiftsigned(px, mask) for mask in masks]
         img = np.stack(chans, axis=-1)
+    elif bpp == 32 and comp == 3 and struct.unpack(
+        "<III", data[54:66]
+    ) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+        # non-default 32-bit BITFIELDS masks: stb routes these through
+        # stbi__shiftsigned like the 16-bit case; the default-BGRA mask
+        # set takes the fast byte-shuffle path below
+        mr, mg, mb = struct.unpack("<III", data[54:66])
+        ma = struct.unpack("<I", data[66:70])[0] if hdr_size >= 56 else 0
+        stride = (w * 4 + 3) & ~3
+        rows = np.frombuffer(
+            data[pix_off : pix_off + stride * h], np.uint8
+        ).reshape(h, stride)[:, : w * 4]
+        px = (
+            np.ascontiguousarray(rows)
+            .reshape(h, w, 4)
+            .view("<u4")[..., 0]
+            .astype(np.uint32)
+        )
+        chans = [_shiftsigned(px, m) for m in (mr, mg, mb)]
+        chans.append(
+            _shiftsigned(px, ma) if ma
+            else np.full((h, w), 255, np.uint8)
+        )
+        img = np.stack(chans, axis=-1)
     elif bpp in (24, 32):
         nb = bpp // 8
         stride = (w * nb + 3) & ~3

@@ -189,3 +189,69 @@ def test_bmp_16bit_bitfields(rng):
     g = (g6 << 2) | (g6 >> 4)
     b_ = (b5 << 3) | (b5 >> 2)
     np.testing.assert_array_equal(got, np.stack([r, g, b_], -1).astype(np.uint8))
+
+
+def test_bmp_32bit_bitfields_nondefault_masks(rng):
+    """32-bit BI_BITFIELDS with non-BGRA masks must honor the masks via
+    stb's shiftsigned (round-4 review finding: the fast path silently
+    swapped R/B for e.g. RGBA-ordered masks)."""
+    w, h = 5, 4
+    r = rng.integers(0, 256, (h, w), np.uint32)
+    g = rng.integers(0, 256, (h, w), np.uint32)
+    b = rng.integers(0, 256, (h, w), np.uint32)
+    a = rng.integers(0, 256, (h, w), np.uint32)
+    # RGBA byte order: R in the LOW byte (mask 0x000000FF)
+    px = (r | (g << 8) | (b << 16) | (a << 24)).astype("<u4")
+    rowbytes = b"".join(px[y].tobytes() for y in range(h - 1, -1, -1))
+    off = 14 + 108 + 0
+    hdr = (
+        b"BM" + (off + len(rowbytes)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (108).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (32).to_bytes(2, "little") + (3).to_bytes(4, "little")
+        + bytes(20)  # SizeImage/XPels/YPels/ClrUsed/ClrImportant
+        + (0x000000FF).to_bytes(4, "little")   # R mask
+        + (0x0000FF00).to_bytes(4, "little")   # G mask
+        + (0x00FF0000).to_bytes(4, "little")   # B mask
+        + (0xFF000000).to_bytes(4, "little")   # A mask
+        + bytes(108 - 56)
+    )
+    got = decode_bmp(hdr + dib + rowbytes)
+    np.testing.assert_array_equal(got[..., 0], r.astype(np.uint8))
+    np.testing.assert_array_equal(got[..., 1], g.astype(np.uint8))
+    np.testing.assert_array_equal(got[..., 2], b.astype(np.uint8))
+    np.testing.assert_array_equal(got[..., 3], a.astype(np.uint8))
+
+
+def test_bmp_32bit_default_masks_keep_fast_path(rng):
+    """Default BGRA masks under BI_BITFIELDS decode identically to the
+    plain 32-bit path."""
+    from tests.test_formats import _save  # self-import safe under pytest
+
+    arr = np.dstack([
+        rng.integers(0, 256, (6, 7), np.uint8) for _ in range(4)
+    ])
+    bgra = arr[:, :, [2, 1, 0, 3]]
+    rowbytes = b"".join(
+        bgra[y].tobytes() for y in range(5, -1, -1)
+    )
+    off = 14 + 40 + 12
+    hdr = (
+        b"BM" + (off + len(rowbytes)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little") + (7).to_bytes(4, "little")
+        + (6).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (32).to_bytes(2, "little") + (3).to_bytes(4, "little")
+        + bytes(20)
+    )
+    masks = b"".join(
+        m.to_bytes(4, "little")
+        for m in (0x00FF0000, 0x0000FF00, 0x000000FF)
+    )
+    got = decode_bmp(hdr + dib + masks + rowbytes)
+    np.testing.assert_array_equal(got, arr)
