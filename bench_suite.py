@@ -233,23 +233,33 @@ def main():
         dtm = steady_time(sh, xs, iters=args.iters, rb_cost=_rb())
         total_mpix_s = D * outs[0] * outs[1] / 1e6 / dtm
         eff = scaling_efficiency(total_mpix_s, single_mpix_s, n_dev)
-        # the measured "efficiency" on a virtual CPU mesh is meaningless;
-        # what IS falsifiable here is the analytic ICI model: halo bytes
-        # on the wire vs the interior-compute window that hides them
-        # (the overlapped sharded path), driven by the measured
-        # single-chip frame time
+        # analytic ICI model, parameterized by the path ACTUALLY measured
+        # (halo_spec: exchange dtype/width differ per backend), driven by
+        # the measured single-chip frame time.  On real multi-chip
+        # hardware vs_baseline is the MEASUREMENT (the model is a
+        # cross-check); on the virtual CPU mesh the measured ratio is
+        # meaningless (virtual devices share host cores), so the model's
+        # prediction is reported instead, clearly labeled.
         from lanczos_tpu.parallel.multihost import ici_halo_model
 
-        model = ici_halo_model(cfg, R, dt1)
+        virtual = jax.default_backend() == "cpu"
+        model = ici_halo_model(
+            cfg, R, dt1, halo_bytes=sh.halo_spec()["bytes"]
+        )
         print(json.dumps({
             "metric": f"{outs[1]}x{outs[0]}_a3_mesh{D}x{R}",
             "value": round(total_mpix_s, 1),
             "unit": "Mpix/s",
-            "vs_baseline": round(model["efficiency"], 4),
+            "vs_baseline": round(
+                model["efficiency"] if virtual else eff, 4
+            ),
+            "measured_eff": round(eff, 4),
+            "model_eff": round(model["efficiency"], 4),
+            "virtual_mesh": virtual,
         }))
         caveat = (
             " [virtual CPU mesh — measured timing NOT chip-representative]"
-            if jax.default_backend() == "cpu" else ""
+            if virtual else ""
         )
         print(
             f"# mesh {D}x{R}: {dtm*1e3:.2f} ms measured (eff {eff:.2f}"

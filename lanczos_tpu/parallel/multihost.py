@@ -102,6 +102,7 @@ def ici_halo_model(
     *,
     channels: int = 3,
     dtype_bytes: int = 1,
+    halo_bytes: Optional[int] = None,
     ici_bw: float = 9.0e10,
     latency_s: float = 1.0e-6,
     boundary_fraction: Optional[float] = None,
@@ -117,7 +118,11 @@ def ici_halo_model(
     them; ``parallel/sharded.py``).
 
     Parameters mirror v5e ICI (~90 GB/s per direction per link by
-    default; pass your platform's numbers).  Returns a dict with:
+    default; pass your platform's numbers).  The default byte model is
+    the MXU path's uint8 input-row exchange — pass ``halo_bytes`` from
+    :meth:`ShardedUpscaler.halo_spec` to model the path actually
+    measured (float gather/shift exchange 4-byte rows, and width-first
+    orders exchange the OW-wide intermediate).  Returns a dict with:
     ``halo_bytes`` (per direction per shard), ``t_halo_s`` (wire time,
     both directions concurrent on a ring), ``t_shard_s`` (per-shard
     compute), ``t_hidden_s`` (interior window the exchange can hide
@@ -126,7 +131,8 @@ def ici_halo_model(
     n, d = cfg.scale_h
     halo = -(-cfg.a * d // n) if n < d else cfg.a
     w = cfg.in_shape[1]
-    halo_bytes = halo * w * channels * dtype_bytes
+    if halo_bytes is None:
+        halo_bytes = halo * w * channels * dtype_bytes
     t_halo = latency_s + halo_bytes / ici_bw
     t_shard = frame_s / rows_n
     if boundary_fraction is None:

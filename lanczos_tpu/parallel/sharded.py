@@ -650,6 +650,31 @@ class ShardedUpscaler:
             return quantize_uint8(out)
         return out
 
+    def halo_spec(self, channels: int = 3) -> dict:
+        """Wire bytes per ppermute direction for this model's ACTUAL
+        exchange path — the analytic-model input
+        (``multihost.ici_halo_model``): the MXU overlay and fixed-point
+        paths exchange uint8 input rows; the c_exact path exchanges the
+        uint8 OW-wide intermediate; the float gather/shift paths
+        exchange compute-dtype rows, on the OW-wide intermediate when
+        the vertical pass runs second (width-first)."""
+        cfg = self.cfg
+        if self.use_mxu or self.fixed:
+            width, nbytes = cfg.in_shape[1], 1
+        elif self.c_exact:
+            width, nbytes = cfg.out_shape[1], 1
+        else:
+            width = (
+                cfg.out_shape[1]
+                if cfg.order == Order.WIDTH_FIRST
+                else cfg.in_shape[1]
+            )
+            nbytes = jnp.dtype(self.dtype).itemsize
+        return {
+            "halo_rows": self.halo,
+            "bytes": self.halo * width * channels * nbytes,
+        }
+
     def __call__(self, img) -> jnp.ndarray:
         img = jax.device_put(
             img,
