@@ -1,15 +1,22 @@
-"""Hardware ablation probe for the fused bf16 MXU kernel (4K->8K a=3).
+"""Hardware ablation probe for the fused MXU kernel (4K->8K a=3).
 
-Reproduces the docs/KERNEL.md §6.1 ceiling table on the real chip:
+Reproduces the docs/KERNEL.md §6.1 bf16 ceiling table AND the fp32
+split-merge measurements on the real chip:
 
     PYTHONPATH=/root/.axon_site:. python tools/ablate_mxu.py \
         128:full 128:notrunc 128:stackh 128:manout 128:band3 \
-        96:full 64:full 240:full
+        128:rollband 96:full 64:full 240:full \
+        128:f32full 128:f32mstack 128:f32nstack \
+        128:f32novertlo 128:f32nomidlo 128:f32nowhlo
 
 Each spec is ``tile:variant``; variants delete or restructure one stage
 of an exact replica of ops/resample_pallas.py's MXU kernel so the
-exposed cost of that stage is measurable.  Outputs are asserted equal
-to the ``full`` variant where semantics are unchanged.  TPU-only."""
+exposed cost of that stage is measurable.  ``full`` is the bf16
+production structure; ``f32full`` is the round-3 fp32 hi+lo split (two
+vertical + three horizontal dependent dots) and ``f32mstack`` the
+round-4 production M-merged form.  Outputs are asserted equal to the
+first variant run where semantics are unchanged ("matches full") —
+the f32no* variants intentionally drop correction terms.  TPU-only."""
 import functools, sys, time
 import numpy as np, jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -51,6 +58,73 @@ def make_kernel(mx, variant):
         nslots = 3 if variant == "band3" else 2
         slot = band_lin % nslots
 
+        if variant == "rollband":
+            # only DMA the rows the previous band does not already hold:
+            # copy the overlap from the resident slot, fetch the rest.
+            def start_of(ii):
+                lo = ii * mx.tile_out
+                raw = (2 * lo * mx.dv + mx.off_v) // (2 * mx.nv) - mx.back_v
+                raw = jnp.clip(raw, 0, mx.ih_eff - mx.kv)
+                return pl.multiple_of((raw // 8) * 8, 8)
+
+            def dma_part(band_idx, slot_idx, keep):
+                cc = band_idx // n_i
+                ii = band_idx % n_i
+                st = start_of(ii)
+                return pltpu.make_async_copy(
+                    img_ref.at[cc, pl.ds(st + keep, mx.kv - keep), :],
+                    band.at[pl.ds(slot_idx * mx.kv + keep, mx.kv - keep)],
+                    sems.at[slot_idx],
+                )
+
+            ii_c = band_lin % n_i
+            # deltas alternate 64/56 (60 % 8 != 0; starts floor to 8)
+            PARS = ((1, mx.kv - 64), (0, mx.kv - 56))
+
+            @pl.when(band_lin == 0)
+            def _():
+                dma_for(0, 0).start()
+
+            # wait with the SAME byte count the issuing step used
+            @pl.when(ii_c == 0)
+            def _():
+                dma_for(band_lin, slot).wait()
+
+            for par, keep in PARS:
+                @pl.when((ii_c != 0) & (ii_c % 2 == par))
+                def _(keep=keep):
+                    dma_part(band_lin, slot, keep).wait()
+
+            nxt = band_lin + 1
+            ii_n = nxt % n_i
+            nslot = nxt % 2
+
+            @pl.when((nxt < bands_total) & (ii_n == 0))
+            def _():
+                dma_for(nxt, nslot).start()
+
+            for par, keep in PARS:
+                @pl.when((nxt < bands_total) & (ii_n != 0) & (ii_n % 2 == par))
+                def _(keep=keep):
+                    src = pl.ds(slot * mx.kv + mx.kv - keep, keep)
+                    dst = pl.ds(nslot * mx.kv, keep)
+                    band[dst] = band[src]
+                    dma_part(nxt, nslot, keep).start()
+
+            xb = band[pl.ds(pl.multiple_of(slot * mx.kv, 8), mx.kv)]
+            xb = xb.astype(jnp.int32).astype(jnp.bfloat16)
+            mid = jnp.dot(wv[0], xb, preferred_element_type=jnp.float32)
+            m_hi = mid.astype(jnp.bfloat16)
+            t = mx.tile_out
+            cb = mx.cb
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                acc = jnp.dot(m_hi[:, st : st + mx.kh], wh[mx.uniq_h[b]],
+                              preferred_element_type=jnp.float32)
+                qv = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[0, :, b * cb : (b + 1) * cb] = qv.astype(jnp.uint8)
+            return
+
         @pl.when(band_lin == 0)
         def _():
             dma_for(0, 0).start()
@@ -74,6 +148,68 @@ def make_kernel(mx, variant):
 
         xb = band[pl.ds(pl.multiple_of(slot * mx.kv, 8), mx.kv)]
         xb = xb.astype(jnp.int32).astype(jnp.bfloat16)
+        if variant == "f32nstack":
+            # one dot per block: LHS [m_hi; m_lo] (2t, kh), RHS
+            # [Wh_hi | Wh_lo] (kh, 2cb); the m_lo x Wh_lo quadrant is
+            # wasted MACs (~2^-32 relative, discarded) but the merged
+            # (2t, kh, 2cb) shape keeps the MXU busier than three
+            # dependent small dots
+            t = mx.tile_out
+            mid2 = dot(wv[0], xb)
+            mid = mid2[:t] + mid2[t:]
+            m_hi = mid.astype(jnp.bfloat16)
+            m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M2 = jnp.concatenate([m_hi, m_lo], axis=0)
+            cbw = mx.cb
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                u = mx.uniq_h[b]
+                PR = dot(M2[:, st : st + mx.kh], wh[u])  # (2t, 2cb)
+                acc = PR[:t, :cbw] + PR[t:, :cbw] + PR[:t, cbw:]
+                qv = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[0, :, b * cbw : (b + 1) * cbw] = qv.astype(jnp.uint8)
+            return
+        if variant == "f32mstack":
+            # hi+lo merged along M: vertical 2 dots -> 1 (wv prestacked
+            # (1, 2t, kv)), horizontal 3 dots -> 2 per block (concat
+            # [m_hi; m_lo] once per tile along sublanes)
+            t = mx.tile_out
+            mid2 = dot(wv[0], xb)  # (2t, W)
+            mid = mid2[:t] + mid2[t:]
+            m_hi = mid.astype(jnp.bfloat16)
+            m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            M2 = jnp.concatenate([m_hi, m_lo], axis=0)  # (2t, W)
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                u = mx.uniq_h[b]
+                m2s = M2[:, st : st + mx.kh]
+                P = dot(m2s, wh[2 * u])  # (2t, cb)
+                acc = P[:t] + P[t:] + dot(m2s[:t], wh[2 * u + 1])
+                qv = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[0, :, b * mx.cb : (b + 1) * mx.cb] = qv.astype(
+                    jnp.uint8
+                )
+            return
+        if variant.startswith("f32"):
+            # production fp32 path: hi+lo weight splits (wv block is
+            # (1, 2, t, kv); wh rows interleave hi/lo per unique id)
+            mid = dot(wv[0, 0], xb)
+            if variant != "f32novertlo":
+                mid = mid + dot(wv[0, 1], xb)
+            m_hi = mid.astype(jnp.bfloat16)
+            m_lo = (mid - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                u = mx.uniq_h[b]
+                xh = m_hi[:, st : st + mx.kh]
+                acc = dot(xh, wh[2 * u])
+                if variant != "f32nomidlo":
+                    acc = acc + dot(m_lo[:, st : st + mx.kh], wh[2 * u])
+                if variant != "f32nowhlo":
+                    acc = acc + dot(xh, wh[2 * u + 1])
+                qv = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[0, :, b * mx.cb : (b + 1) * mx.cb] = qv.astype(jnp.uint8)
+            return
         if variant == "bfmid":
             m_hi = jnp.dot(wv[0], xb, preferred_element_type=jnp.bfloat16)
         else:
@@ -144,7 +280,7 @@ def make_kernel(mx, variant):
 
         for b in range(mx.n_cb):
             st = mx.starts_h[b]
-            acc = dot(m_hi[:, st : st + mx.kh], wh[b if False else mx.uniq_h[b]])
+            acc = dot(m_hi[:, st : st + mx.kh], wh[mx.uniq_h[b]])
             out_ref[0, :, b * cb : (b + 1) * cb] = q(acc)
 
     return kernel
@@ -155,8 +291,27 @@ def build(tile, variant):
     if mx is None:
         print(f"tile {tile}: plan infeasible", flush=True)
         return None, None
-    wv_hi, _ = _split_bf16(mx.wv)
-    wh_hi, _ = _split_bf16(mx.wh)
+    wv_hi, wv_lo = _split_bf16(mx.wv)
+    wh_hi, wh_lo = _split_bf16(mx.wh)
+    if variant == "f32nstack":
+        import numpy as _np
+
+        wv_hi = _np.concatenate([wv_hi, wv_lo], axis=1)  # (nt, 2t, kv)
+        wh_hi = _np.concatenate([wh_hi, wh_lo], axis=2)  # (nu, kh, 2cb)
+    elif variant == "f32mstack":
+        import numpy as _np
+
+        wv_hi = _np.concatenate([wv_hi, wv_lo], axis=1)  # (nt, 2t, kv)
+        wh_hi = _np.stack([wh_hi, wh_lo], axis=1).reshape(
+            -1, *wh_hi.shape[1:]
+        )
+    elif variant.startswith("f32"):
+        import numpy as _np
+
+        wv_hi = _np.stack([wv_hi, wv_lo], axis=1)  # (nt, 2, t, kv)
+        wh_hi = _np.stack([wh_hi, wh_lo], axis=1).reshape(
+            -1, *wh_hi.shape[1:]
+        )  # (2nu, kh, cb) interleaved hi/lo
     nu = wh_hi.shape[0]
     w_eff = _round_up(W, 128)
     nstack = max(
@@ -167,9 +322,17 @@ def build(tile, variant):
         grid=(12, mx.num_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [
-            pl.BlockSpec(
-                (1, wv_hi.shape[1], mx.kv), lambda c, i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+            (
+                pl.BlockSpec(
+                    (1, 2, wv_hi.shape[2], mx.kv),
+                    lambda c, i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                if variant.startswith("f32") and variant not in ("f32mstack", "f32nstack")
+                else pl.BlockSpec(
+                    (1, wv_hi.shape[1], mx.kv), lambda c, i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
         ]
         + [
