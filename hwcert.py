@@ -90,6 +90,47 @@ def tolerance(cfg) -> int:
     return 1
 
 
+def run_seed_exact(seed: int) -> dict:
+    """Bit-exact profile certification: the device hls / c_oracle paths
+    vs their host oracles (the stream-machine simulator and the
+    compiled-reference-anchored fp64 oracle) — equality, not tolerance."""
+    from lanczos_tpu.core.config import Profile
+    from lanczos_tpu.models.upscaler import Upscaler
+    from lanczos_tpu.core.config import ResampleConfig
+
+    rng = np.random.default_rng(10_000 + seed)
+    profile = Profile.HLS if rng.integers(2) else Profile.C_ORACLE
+    n = int(rng.choice([2, 3, 4]))
+    a = 2 if profile == Profile.HLS else int(rng.integers(2, 4))
+    h = int(rng.integers(6, 20)) * 8
+    w = int(rng.integers(6, 20)) * 8
+    cfg = ResampleConfig.from_profile(profile, (h, w), scale=(n, 1), a=a)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    t0 = time.time()
+    got = np.asarray(Upscaler(cfg, backend="auto")(img))
+    if profile == Profile.HLS:
+        from lanczos_tpu.ref.hls_sim import hls_stream_upscale
+
+        want = hls_stream_upscale(img, h * n, w * n, a, cfg.bit_precision)
+    else:
+        from lanczos_tpu.ref.oracle import c_oracle_upscale
+
+        want = c_oracle_upscale(img, h * n, w * n, a)
+    dt = time.time() - t0
+    exact = bool(np.array_equal(got, want))
+    return {
+        "seed": seed,
+        "ok": exact,
+        "profile": profile.value,
+        "scale": f"{n}/1",
+        "in": [h, w],
+        "a": a,
+        "exact": exact,
+        "wall_s": round(dt, 2),
+    }
+
+
 def run_seed(seed: int, cpu_smoke: bool) -> dict:
     from lanczos_tpu.models.upscaler import Upscaler
 
@@ -161,6 +202,9 @@ def run_seed(seed: int, cpu_smoke: bool) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--seeds", type=int, default=40)
+    p.add_argument("--exact-seeds", type=int, default=8,
+                   help="bit-exact hls/c_oracle profile seeds (device vs "
+                        "host oracle, equality)")
     p.add_argument("--seed0", type=int, default=0)
     p.add_argument("--cpu-smoke", action="store_true",
                    help="reduced interpret-mode sweep for off-chip testing")
@@ -184,14 +228,20 @@ def main(argv=None) -> int:
         rows.append(row)
         fails += 0 if row["ok"] else 1
         print(json.dumps(row), flush=True)
+    for seed in range(args.exact_seeds):
+        row = run_seed_exact(seed)
+        rows.append(row)
+        fails += 0 if row["ok"] else 1
+        print(json.dumps(row), flush=True)
     summary = {
         "summary": True,
         "device": jax.devices()[0].device_kind,
         "mode": "cpu-smoke" if not on_tpu else "hardware",
-        "seeds": args.seeds,
-        "passed": args.seeds - fails,
+        "seeds": len(rows),
+        "passed": len(rows) - fails,
         "failed": fails,
         "mxu_configs": sum(1 for r in rows if r.get("mxu")),
+        "exact_profiles": sum(1 for r in rows if r.get("exact")),
         "skipped": sum(1 for r in rows if r.get("skipped")),
     }
     print(json.dumps(summary), flush=True)

@@ -14,16 +14,17 @@ def test_hwcert_cpu_smoke(capsys):
     sys.path.insert(0, ".")
     import hwcert
 
-    rc = hwcert.main(["--cpu-smoke", "--seeds", "4"])
+    rc = hwcert.main(["--cpu-smoke", "--seeds", "4", "--exact-seeds", "2"])
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     summary = lines[-1]
     assert summary["summary"] and summary["mode"] == "cpu-smoke"
-    assert summary["passed"] + summary["failed"] == 4
+    assert summary["passed"] + summary["failed"] == 6
     assert summary["failed"] == 0
+    assert summary["exact_profiles"] == 2
     for row in lines[:-1]:
         assert row["ok"]
-        if "skipped" in row:
+        if "skipped" in row or "exact" in row:
             continue
         assert row["max_diff"] <= row["tol"]
 
@@ -58,8 +59,9 @@ def test_hwcert_report_file(tmp_path, capsys):
     import hwcert
 
     out = tmp_path / "report.jsonl"
-    rc = hwcert.main(["--cpu-smoke", "--seeds", "2", "--out", str(out)])
+    rc = hwcert.main(["--cpu-smoke", "--seeds", "2", "--exact-seeds", "1",
+                      "--out", str(out)])
     capsys.readouterr()
     assert rc == 0
     rows = [json.loads(l) for l in out.read_text().splitlines()]
-    assert rows[-1]["summary"] and len(rows) == 3
+    assert rows[-1]["summary"] and len(rows) == 4
