@@ -65,6 +65,15 @@ ok = all(
     np.array_equal(np.asarray(s.data), ref[s.index])
     for s in out.addressable_shards
 ) and len(out.addressable_shards) > 0
+
+# the HLS fixed-point path: drift-aware halos under real multi-process
+cfg_hls = ResampleConfig.from_profile(Profile.HLS, (in_h, w), scale=(2, 1), a=2)
+out_hls = ShardedUpscaler(cfg_hls, mesh)(img)
+ref_hls = np.asarray(Upscaler(cfg_hls, backend="auto")(img))
+ok = ok and all(
+    np.array_equal(np.asarray(s.data), ref_hls[s.index])
+    for s in out_hls.addressable_shards
+)
 with open(os.path.join(outdir, f"result_{pid}"), "w") as f:
     f.write("PASS" if ok else "FAIL")
 '''
