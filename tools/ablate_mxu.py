@@ -368,8 +368,15 @@ img = jnp.asarray(rng.integers(0, 256, (12, IH, W), np.uint8))
 rb = readback_cost()
 print(f"rb {rb*1e3:.0f} ms", flush=True)
 ref_out = None
+KNOWN = {
+    "full", "notrunc", "stackh", "manout", "band3", "rollband", "bfmid",
+    "f32full", "f32mstack", "f32nstack", "f32novertlo", "f32nomidlo",
+    "f32nowhlo",
+}
 for spec in sys.argv[1:] or ["128:full"]:
     tile_s, variant = spec.split(":")
+    if variant not in KNOWN:
+        sys.exit(f"unknown variant {variant!r}; known: {sorted(KNOWN)}")
     fn, mx = build(int(tile_s), variant)
     if fn is None:
         continue
