@@ -223,16 +223,21 @@ def main(argv=None) -> int:
 
     rows = []
     fails = 0
+    sink = open(args.out, "w") if args.out else None
+
+    def emit(row):
+        rows.append(row)
+        line = json.dumps(row)
+        print(line, flush=True)
+        if sink:  # stream incrementally: a dead tunnel mid-run must not
+            sink.write(line + "\n")  # lose the seeds already certified
+            sink.flush()
+
     for seed in range(args.seed0, args.seed0 + args.seeds):
-        row = run_seed(seed, args.cpu_smoke)
-        rows.append(row)
-        fails += 0 if row["ok"] else 1
-        print(json.dumps(row), flush=True)
+        emit(run_seed(seed, args.cpu_smoke))
     for seed in range(args.exact_seeds):
-        row = run_seed_exact(seed)
-        rows.append(row)
-        fails += 0 if row["ok"] else 1
-        print(json.dumps(row), flush=True)
+        emit(run_seed_exact(seed))
+    fails = sum(0 if r["ok"] else 1 for r in rows)
     summary = {
         "summary": True,
         "device": jax.devices()[0].device_kind,
@@ -245,10 +250,9 @@ def main(argv=None) -> int:
         "skipped": sum(1 for r in rows if r.get("skipped")),
     }
     print(json.dumps(summary), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            for r in rows + [summary]:
-                f.write(json.dumps(r) + "\n")
+    if sink:
+        sink.write(json.dumps(summary) + "\n")
+        sink.close()
     return 1 if fails else 0
 
 
