@@ -138,53 +138,59 @@ def decode_bmp(data: bytes) -> np.ndarray:
             weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
             idx = (samples * weights).sum(axis=2)
         img = pal[idx]
-    elif bpp == 16:  # 555 (BI_RGB) or arbitrary BITFIELDS masks
+    elif bpp in (16, 24, 32):
+        # mask set, exactly as stbi__bmp_set_mask_defaults / BITFIELDS
         if comp == 3:
-            masks = struct.unpack("<III", data[54:66])
+            mr, mg, mb = struct.unpack("<III", data[54:66])
+            ma = (
+                struct.unpack("<I", data[66:70])[0]
+                if hdr_size >= 56 else 0
+            )
+        elif bpp == 16:
+            mr, mg, mb, ma = 0x7C00, 0x03E0, 0x001F, 0
+        elif bpp == 32:
+            mr, mg, mb, ma = 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
         else:
-            masks = (0x7C00, 0x03E0, 0x001F)
-        stride = (w * 2 + 3) & ~3
-        rows = np.frombuffer(
-            data[pix_off : pix_off + stride * h], np.uint8
-        ).reshape(h, stride)[:, : w * 2]
-        px = (
-            np.ascontiguousarray(rows)
-            .reshape(h, w, 2)
-            .view("<u2")[..., 0]
-            .astype(np.uint32)
+            mr = mg = mb = ma = 0
+        # stb's "easy" fast paths: 24-bit always; 32-bit ONLY when the
+        # full BGRA default mask set matches INCLUDING alpha
+        # (stb_image.h:5586-5589)
+        easy = bpp == 24 or (
+            bpp == 32
+            and (mr, mg, mb, ma)
+            == (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
         )
-        chans = [_shiftsigned(px, mask) for mask in masks]
-        img = np.stack(chans, axis=-1)
-    elif bpp == 32 and comp == 3 and struct.unpack(
-        "<III", data[54:66]
-    ) != (0x00FF0000, 0x0000FF00, 0x000000FF):
-        # non-default 32-bit BITFIELDS masks: stb routes these through
-        # stbi__shiftsigned like the 16-bit case; the default-BGRA mask
-        # set takes the fast byte-shuffle path below
-        mr, mg, mb = struct.unpack("<III", data[54:66])
-        ma = struct.unpack("<I", data[66:70])[0] if hdr_size >= 56 else 0
-        stride = (w * 4 + 3) & ~3
-        rows = np.frombuffer(
-            data[pix_off : pix_off + stride * h], np.uint8
-        ).reshape(h, stride)[:, : w * 4]
-        px = (
-            np.ascontiguousarray(rows)
-            .reshape(h, w, 4)
-            .view("<u4")[..., 0]
-            .astype(np.uint32)
-        )
-        chans = [_shiftsigned(px, m) for m in (mr, mg, mb)]
-        chans.append(
-            _shiftsigned(px, ma) if ma
-            else np.full((h, w), 255, np.uint8)
-        )
-        img = np.stack(chans, axis=-1)
-    elif bpp in (24, 32):
-        nb = bpp // 8
-        stride = (w * nb + 3) & ~3
-        rows = np.frombuffer(data[pix_off : pix_off + stride * h], np.uint8)
-        px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
-        img = px[:, :, [2, 1, 0, 3][: (4 if nb == 4 else 3)]]  # BGR(A)->RGB(A)
+        if easy:
+            nb = bpp // 8
+            stride = (w * nb + 3) & ~3
+            rows = np.frombuffer(
+                data[pix_off : pix_off + stride * h], np.uint8
+            )
+            px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+            img = px[:, :, [2, 1, 0, 3][: (4 if nb == 4 else 3)]]
+        else:
+            nb = bpp // 8
+            stride = (w * nb + 3) & ~3
+            rows = np.frombuffer(
+                data[pix_off : pix_off + stride * h], np.uint8
+            ).reshape(h, stride)[:, : w * nb]
+            px = (
+                np.ascontiguousarray(rows)
+                .reshape(h, w, nb)
+                .view("<u2" if bpp == 16 else "<u4")[..., 0]
+                .astype(np.uint32)
+            )
+            chans = [_shiftsigned(px, m) for m in (mr, mg, mb)]
+            # stb: img_n = ma ? 4 : 3 (alpha channel only when an alpha
+            # mask exists, stb_image.h:5476)
+            if ma:
+                chans.append(_shiftsigned(px, ma))
+            img = np.stack(chans, axis=-1)
+        if img.shape[-1] == 4 and not img[..., 3].any():
+            # stb's all_a quirk (stb_image.h:5631-5634): an all-zero
+            # alpha channel is rewritten to fully opaque
+            img = img.copy()
+            img[..., 3] = 255
     else:
         raise FormatError(f"BMP bpp {bpp} unsupported")
     if not top_down:

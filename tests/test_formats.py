@@ -226,11 +226,11 @@ def test_bmp_32bit_bitfields_nondefault_masks(rng):
     np.testing.assert_array_equal(got[..., 3], a.astype(np.uint8))
 
 
-def test_bmp_32bit_default_masks_keep_fast_path(rng):
-    """Default BGRA masks under BI_BITFIELDS decode identically to the
-    plain 32-bit path."""
-    from tests.test_formats import _save  # self-import safe under pytest
-
+def test_bmp_32bit_default_rgb_masks_no_alpha(rng):
+    """Default RGB masks WITHOUT an alpha mask (BITMAPINFOHEADER
+    BI_BITFIELDS): stb's easy==2 gate requires ma == 0xFF000000 too, so
+    this routes through shiftsigned with img_n = 3 — the 4th byte is
+    discarded, not returned as alpha (stb_image.h:5586-5589, :5476)."""
     arr = np.dstack([
         rng.integers(0, 256, (6, 7), np.uint8) for _ in range(4)
     ])
@@ -254,4 +254,29 @@ def test_bmp_32bit_default_masks_keep_fast_path(rng):
         for m in (0x00FF0000, 0x0000FF00, 0x000000FF)
     )
     got = decode_bmp(hdr + dib + masks + rowbytes)
-    np.testing.assert_array_equal(got, arr)
+    np.testing.assert_array_equal(got, arr[:, :, :3])
+
+
+def test_bmp_32bit_all_zero_alpha_forced_opaque(rng):
+    """stb's all_a quirk (stb_image.h:5631-5634): a 32-bit image whose
+    alpha channel decodes to all zeros comes back fully opaque."""
+    rgb = np.dstack([
+        rng.integers(0, 256, (4, 5), np.uint8) for _ in range(3)
+    ])
+    bgra = np.dstack([rgb[:, :, 2], rgb[:, :, 1], rgb[:, :, 0],
+                      np.zeros((4, 5), np.uint8)])
+    rowbytes = b"".join(bgra[y].tobytes() for y in range(3, -1, -1))
+    off = 14 + 40
+    hdr = (
+        b"BM" + (off + len(rowbytes)).to_bytes(4, "little") + bytes(4)
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little") + (5).to_bytes(4, "little")
+        + (4).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (32).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + bytes(20)
+    )
+    got = decode_bmp(hdr + dib + rowbytes)
+    np.testing.assert_array_equal(got[..., :3], rgb)
+    assert (got[..., 3] == 255).all()
