@@ -99,7 +99,7 @@ def run_seed_exact(seed: int) -> dict:
     from lanczos_tpu.core.config import ResampleConfig
 
     rng = np.random.default_rng(10_000 + seed)
-    profile = Profile.HLS if rng.integers(2) else Profile.C_ORACLE
+    profile = Profile.HLS if seed % 2 else Profile.C_ORACLE
     n = int(rng.choice([2, 3, 4]))
     a = 2 if profile == Profile.HLS else int(rng.integers(2, 4))
     h = int(rng.integers(6, 20)) * 8
@@ -246,7 +246,7 @@ def main(argv=None) -> int:
         "passed": len(rows) - fails,
         "failed": fails,
         "mxu_configs": sum(1 for r in rows if r.get("mxu")),
-        "exact_profiles": sum(1 for r in rows if r.get("exact")),
+        "exact_profiles": sum(1 for r in rows if "exact" in r),
         "skipped": sum(1 for r in rows if r.get("skipped")),
     }
     print(json.dumps(summary), flush=True)

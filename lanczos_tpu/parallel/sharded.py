@@ -650,16 +650,18 @@ class ShardedUpscaler:
             return quantize_uint8(out)
         return out
 
-    def halo_spec(self, channels: int = 3) -> dict:
+    def halo_spec(self, channels: int = 3, uint8_input: bool = True) -> dict:
         """Wire bytes per ppermute direction for this model's ACTUAL
         exchange path — the analytic-model input
-        (``multihost.ici_halo_model``): the MXU overlay and fixed-point
-        paths exchange uint8 input rows; the c_exact path exchanges the
-        uint8 OW-wide intermediate; the float gather/shift paths
-        exchange compute-dtype rows, on the OW-wide intermediate when
-        the vertical pass runs second (width-first)."""
+        (``multihost.ici_halo_model``): the MXU overlay (which only
+        engages for uint8 frames — pass ``uint8_input=False`` when
+        feeding floats, which fall back to the gather/shift path) and
+        the fixed-point path exchange uint8 input rows; the c_exact
+        path exchanges the uint8 OW-wide intermediate; the float
+        gather/shift paths exchange compute-dtype rows, on the OW-wide
+        intermediate when the vertical pass runs second (width-first)."""
         cfg = self.cfg
-        if self.use_mxu or self.fixed:
+        if (self.use_mxu and uint8_input) or self.fixed:
             width, nbytes = cfg.in_shape[1], 1
         elif self.c_exact:
             width, nbytes = cfg.out_shape[1], 1
