@@ -100,11 +100,11 @@ def run_seed_exact(seed: int) -> dict:
 
     rng = np.random.default_rng(10_000 + seed)
     profile = Profile.HLS if seed % 2 else Profile.C_ORACLE
-    n = int(rng.choice([2, 3, 4]))
+    n, d = [(2, 1), (3, 1), (4, 1), (3, 2)][rng.integers(4)]
     a = 2 if profile == Profile.HLS else int(rng.integers(2, 4))
-    h = int(rng.integers(6, 20)) * 8
+    h = int(rng.integers(6, 20)) * 8  # *8 keeps h, w divisible by d
     w = int(rng.integers(6, 20)) * 8
-    cfg = ResampleConfig.from_profile(profile, (h, w), scale=(n, 1), a=a)
+    cfg = ResampleConfig.from_profile(profile, (h, w), scale=(n, d), a=a)
     img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
     t0 = time.time()
@@ -112,18 +112,20 @@ def run_seed_exact(seed: int) -> dict:
     if profile == Profile.HLS:
         from lanczos_tpu.ref.hls_sim import hls_stream_upscale
 
-        want = hls_stream_upscale(img, h * n, w * n, a, cfg.bit_precision)
+        want = hls_stream_upscale(
+            img, h * n // d, w * n // d, a, cfg.bit_precision
+        )
     else:
         from lanczos_tpu.ref.oracle import c_oracle_upscale
 
-        want = c_oracle_upscale(img, h * n, w * n, a)
+        want = c_oracle_upscale(img, h * n // d, w * n // d, a)
     dt = time.time() - t0
     exact = bool(np.array_equal(got, want))
     return {
         "seed": seed,
         "ok": exact,
         "profile": profile.value,
-        "scale": f"{n}/1",
+        "scale": f"{n}/{d}",
         "in": [h, w],
         "a": a,
         "exact": exact,
