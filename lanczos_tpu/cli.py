@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "shift_xla", "block", "xla", "pallas", "c_exact", "ref"])
     p.add_argument("--filter", default="lanczos")
+    p.add_argument("--precision", default=None, choices=["fp32", "bf16"],
+                   help="accumulation tier for the precise profile "
+                        "(bf16: ~2x throughput, <=3 LSB vs fp32)")
     p.add_argument("--align", default="zero", choices=["zero", "center"],
                    help="grid alignment: zero (reference) or center (PIL-style)")
     p.add_argument("--expected", action="store_true",
@@ -102,10 +105,15 @@ def main(argv=None) -> int:
             os.path.splitext(args.input)[0] + "_upscaled.y4m"
         )
         t0 = time.perf_counter()
+        vkw = {}
+        if args.precision:
+            from lanczos_tpu.core.config import Precision
+
+            vkw["precision"] = Precision(args.precision)
         hdr = upscale_y4m(
             args.input, out_path, scale=args.scale, out_shape=args.out_size,
             profile=args.profile, a=args.a, backend=args.backend,
-            filter=args.filter, align=args.align,
+            filter=args.filter, align=args.align, **vkw,
         )
         dt = time.perf_counter() - t0
         print(f"wrote {out_path}  ({hdr.width}x{hdr.height} C{hdr.colorspace}, "
@@ -123,10 +131,18 @@ def main(argv=None) -> int:
 
     if args.out_size is None and args.scale is None:
         args.scale = (2, 1)
+    overrides = {}
+    if args.precision:
+        from lanczos_tpu.core.config import Precision
+
+        if args.profile != "precise" and args.precision == "bf16":
+            p.error("--precision bf16 applies to the precise profile "
+                    "(c_oracle/hls are bit-exact integer semantics)")
+        overrides["precision"] = Precision(args.precision)
     cfg = ResampleConfig.from_profile(
         Profile(args.profile), (h, w),
         out_shape=args.out_size, scale=args.scale,
-        a=args.a, filter=args.filter, align=args.align,
+        a=args.a, filter=args.filter, align=args.align, **overrides,
     )
     oh, ow = cfg.out_shape
 

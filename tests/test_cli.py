@@ -114,3 +114,21 @@ def test_cli_center_align_psnr_falls_back(tmp_path, capsys, rng):
     assert rc == 0
     out = capsys.readouterr().out
     assert "fp64 ref backend" in out
+
+
+def test_cli_precision_bf16(tmp_path, capsys, rng):
+    """--precision bf16 selects the fast tier on the precise profile and
+    is rejected for the bit-exact profiles."""
+    from lanczos_tpu.io import write_image
+
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    src = tmp_path / "in.png"
+    write_image(src, img)
+    rc = main([str(src), str(tmp_path / "o.png"), "--scale", "2/1",
+               "--a", "2", "--precision", "bf16", "--no-psnr"])
+    assert rc == 0
+    assert read_png(tmp_path / "o.png").shape == (32, 32, 3)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([str(src), "--profile", "hls", "--precision", "bf16"])
