@@ -99,6 +99,10 @@ def main(argv=None) -> int:
         if args.bench or args.expected:
             p.error("--bench/--expected apply to still images, not .y4m "
                     "video (use bench_suite.py for video timing)")
+        if args.precision and args.profile != "precise":
+            p.error("--precision applies to the precise profile only "
+                    "(c_oracle/hls are bit-exact integer semantics; an "
+                    "fp32 override would silently change them)")
         if args.scale is None and args.out_size is None:
             args.scale = (2, 1)
         out_path = args.output or (
@@ -135,9 +139,10 @@ def main(argv=None) -> int:
     if args.precision:
         from lanczos_tpu.core.config import Precision
 
-        if args.profile != "precise" and args.precision == "bf16":
-            p.error("--precision bf16 applies to the precise profile "
-                    "(c_oracle/hls are bit-exact integer semantics)")
+        if args.profile != "precise":
+            p.error("--precision applies to the precise profile only "
+                    "(c_oracle/hls are bit-exact integer semantics; an "
+                    "fp32 override would silently change them)")
         overrides["precision"] = Precision(args.precision)
     cfg = ResampleConfig.from_profile(
         Profile(args.profile), (h, w),

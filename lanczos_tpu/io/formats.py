@@ -117,6 +117,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     (comp,) = struct.unpack("<I", data[30:34])
     if comp not in (0, 3):  # BI_RGB / BI_BITFIELDS(with default masks)
         raise FormatError(f"BMP compression {comp} unsupported")
+    if comp == 3 and bpp not in (16, 32):
+        # stb rejects BITFIELDS outside 16/32 bpp ("bad BMP") instead of
+        # silently ignoring the masks (stb_image.h bmp_parse_header)
+        raise FormatError(f"BMP BITFIELDS with {bpp} bpp unsupported")
     top_down = h < 0
     h = abs(h)
     check_dims(w, h)

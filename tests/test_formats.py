@@ -280,3 +280,26 @@ def test_bmp_32bit_all_zero_alpha_forced_opaque(rng):
     got = decode_bmp(hdr + dib + rowbytes)
     np.testing.assert_array_equal(got[..., :3], rgb)
     assert (got[..., 3] == 255).all()
+
+
+def test_bmp_bitfields_24bpp_rejected(rng):
+    """BI_BITFIELDS with 24 bpp is malformed; stb rejects it ("bad BMP")
+    instead of silently decoding BGR and ignoring the masks (round-5
+    advisor finding)."""
+    w, h = 4, 3
+    stride = (w * 3 + 3) & ~3
+    rowbytes = bytes(stride * h)
+    hdr = (
+        b"BM" + (66 + len(rowbytes)).to_bytes(4, "little") + bytes(4)
+        + (66).to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (3).to_bytes(4, "little") + bytes(20)
+    )
+    masks = b"".join(
+        m.to_bytes(4, "little") for m in (0xFF0000, 0x00FF00, 0x0000FF)
+    )
+    with pytest.raises(FormatError):
+        decode_bmp(hdr + dib + masks + rowbytes)

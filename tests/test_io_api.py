@@ -482,3 +482,24 @@ def test_pnm_maxval_over_65535_rejected():
     data = b"P5\n1 1\n65536\n" + b"\0\0"
     with pytest.raises(FormatError):
         decode_pnm(data)
+
+
+def test_error_story_failure_reason_analog():
+    """The ``stbi_failure_reason`` analog (PARITY.md "error handling"):
+    every codec raises a typed ``ValueError`` subclass whose ``str()``
+    carries the human-readable reason — no NULL returns, no process-global
+    last-error state to query afterwards."""
+    from lanczos_tpu.io.formats import FormatError
+    from lanczos_tpu.io.jpeg import JPEGError
+    from lanczos_tpu.io.png import PNGError
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\n" + bytes(16), PNGError),
+        (b"\xff\xd8" + bytes(8), JPEGError),
+        (b"BM" + bytes(64), FormatError),
+    ]
+    for data, exc in cases:
+        with pytest.raises(exc) as ei:
+            decode_image(data)
+        assert isinstance(ei.value, ValueError)  # one common catchable base
+        assert str(ei.value)  # the reason rides the exception itself
