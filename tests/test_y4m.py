@@ -335,3 +335,23 @@ def test_y4m_truncation_and_bitflips_never_crash(rng):
                 read_y4m(io.BytesIO(bytes(mut)))
             except ValueError:
                 pass
+
+
+def test_upscale_y4m_mesh_matches_single_chip(rng, tmp_path):
+    """Multi-chip video streaming (BASELINE config 5): the mesh-driven
+    y4m pipeline is byte-identical to the single-chip run."""
+    import jax
+
+    from lanczos_tpu.models.video import upscale_y4m
+
+    src = tmp_path / "src.y4m"
+    write_y4m(str(src), _frames(rng, 6, 16, 16, "420jpeg"), fps=(24, 1),
+              colorspace="420jpeg")
+    single, meshed = tmp_path / "single.y4m", tmp_path / "meshed.y4m"
+    upscale_y4m(str(src), str(single), scale=(2, 1), a=2, batch=2,
+                backend="xla")
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    hdr = upscale_y4m(str(src), str(meshed), scale=(2, 1), a=2, batch=2,
+                      mesh=mesh)
+    assert (hdr.width, hdr.height) == (32, 32)
+    assert meshed.read_bytes() == single.read_bytes()
