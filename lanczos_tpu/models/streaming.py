@@ -365,7 +365,15 @@ class StreamingUpscaler:
                 yield y0_, np.asarray(d)[:n_]
         finally:
             if pool is not None:
-                pool.shutdown(wait=False, cancel_futures=True)
+                # an abandoned generator must not leave get_rows running on
+                # the worker thread after control returns to the caller:
+                # cancel what hasn't started, then JOIN anything in flight
+                if fut is not None and not fut.cancel():
+                    try:
+                        fut.result()
+                    except Exception:
+                        pass  # surfaced to nobody — the generator is dead
+                pool.shutdown(wait=True, cancel_futures=True)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """Whole-frame convenience wrapper over :meth:`chunks`."""
@@ -375,3 +383,166 @@ class StreamingUpscaler:
         for y0, chunk in self.chunks(lambda lo, hi: img[lo:hi]):
             out[y0 : y0 + chunk.shape[0]] = chunk
         return out
+
+
+class ShardedStreamingUpscaler(StreamingUpscaler):
+    """Rows-sharded chunked execution: frames taller than pod HBM.
+
+    The reference's bounded-window stream (``worker.h:140-142``,
+    ``cyclic_buffer.h:63``) promoted twice: output rows are produced in
+    super-chunks of ``R x chunk_rows`` — one ``chunk_rows`` slice per
+    shard of the mesh's ``rows_axis`` — and each shard holds only the
+    input-row window its own slice needs, so per-device memory is bounded
+    by one sub-chunk window and total frame height is unbounded by pod
+    HBM (a single frame may exceed ALL chips' memory combined; only the
+    host stream sees it whole).
+
+    Halo handling happens at host-scatter time: consecutive shards'
+    windows overlap by the vertical support, so every shard's slice is
+    self-contained and no ppermute is needed — streamed input originates
+    on the host, so duplicating the overlap rows in the scatter is
+    strictly cheaper than a device-side ring exchange round (the rows
+    would cross the host boundary either way; compare
+    :class:`~lanczos_tpu.parallel.sharded.ShardedUpscaler`, whose frames
+    are device-resident and exchange halos over ICI).
+
+    Byte-identical to :class:`StreamingUpscaler` at the same
+    ``chunk_backend``: each shard runs the identical per-chunk program on
+    identical inputs (``tests/test_streaming.py``).
+
+    Pass a mesh whose ``rows_axis`` spans the devices to use, e.g.
+    ``jax.make_mesh((8,), ("rows",))``; other mesh axes replicate.
+    """
+
+    def __init__(
+        self,
+        cfg: ResampleConfig,
+        mesh,
+        rows_axis: str = "rows",
+        chunk_rows: int = 512,
+        dtype=jnp.float32,
+        chunk_backend: str = "auto",
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        self.rows_axis = rows_axis
+        self.R = int(mesh.shape[rows_axis])
+        super().__init__(
+            cfg, chunk_rows=chunk_rows, dtype=dtype,
+            chunk_backend=chunk_backend,
+        )
+        self.n_groups = -(-self.n_chunks // self.R)
+        self._shard1 = NamedSharding(mesh, P(rows_axis))
+
+        def shard_fn(*stacked):
+            args = tuple(a[0] for a in stacked)
+            if self.use_mxu:
+                out = self._chunk_fn_mxu(*args)
+            elif self.use_shift:
+                out = self._chunk_fn_shift(*args)
+            else:
+                out = self._chunk_fn(*args)
+            return out[None]
+
+        n_args = 1 if (self.use_mxu or self.use_shift) else 3
+        self._sfn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=tuple(P(rows_axis) for _ in range(n_args)),
+                out_specs=P(rows_axis),
+                # pallas out ShapeDtypeStruct carries no vma annotation
+                check_vma=not self.use_mxu,
+            )
+        )
+
+    def _host_group_args(self, g: int, get_rows):
+        """Host prep for super-chunk g: R stacked sub-chunk argsets.
+
+        Tail groups pad with the last real sub-chunk's args (n = 0 rows
+        kept), keeping one jit shape; ``get_rows`` calls stay ascending
+        and serialized (prefetch-thread safe, like the base class)."""
+        metas, arglists = [], []
+        prev = None
+        for r in range(self.R):
+            k = g * self.R + r
+            if k < self.n_chunks:
+                y0, n, a = self._host_chunk_args(k, get_rows)
+                prev = (y0, a)
+            else:
+                (y0, a), n = prev, 0
+            metas.append((y0, n))
+            arglists.append(a)
+        stacked = tuple(
+            np.stack([al[i] for al in arglists])
+            for i in range(len(arglists[0]))
+        )
+        return metas, stacked
+
+    def _drain(self, item):
+        metas, dev = item
+        host = np.asarray(dev)  # (R, chunk, OW, C)
+        for r, (y0, n) in enumerate(metas):
+            if n:
+                yield y0, host[r, :n]
+
+    def chunks(
+        self,
+        get_rows,
+        start_chunk: int = 0,
+        depth: int = 2,
+        prefetch: bool = True,
+    ):
+        """Yield (y0, chunk_output) pairs, R sub-chunks per device step.
+
+        Same contract as the base class; ``start_chunk`` (for resume)
+        must align to a super-chunk boundary (a multiple of the rows-axis
+        size R — each device step produces R sub-chunks atomically).
+        """
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        if start_chunk % self.R:
+            raise ValueError(
+                f"start_chunk must be a multiple of the rows-axis size "
+                f"{self.R} (one device step = {self.R} sub-chunks)"
+            )
+        depth = max(1, depth)
+        gs = range(start_chunk // self.R, self.n_groups)
+        inflight: collections.deque = collections.deque()
+        pool = (
+            ThreadPoolExecutor(max_workers=1)
+            if prefetch and len(gs) > 1
+            else None
+        )
+        try:
+            fut = None
+            for j, g in enumerate(gs):
+                metas, stacked = (
+                    self._host_group_args(g, get_rows)
+                    if fut is None
+                    else fut.result()
+                )
+                if pool is not None and j + 1 < len(gs):
+                    fut = pool.submit(
+                        self._host_group_args, gs[j + 1], get_rows
+                    )
+                else:
+                    fut = None
+                dev = self._sfn(
+                    *(jax.device_put(a, self._shard1) for a in stacked)
+                )
+                inflight.append((metas, dev))
+                if len(inflight) >= depth:
+                    yield from self._drain(inflight.popleft())
+            while inflight:
+                yield from self._drain(inflight.popleft())
+        finally:
+            if pool is not None:
+                if fut is not None and not fut.cancel():
+                    try:
+                        fut.result()
+                    except Exception:
+                        pass
+                pool.shutdown(wait=True, cancel_futures=True)

@@ -153,3 +153,55 @@ def test_chunks_pipelined_resume(rng):
     assert [y for y, _ in resumed] == [y for y, _ in full][2:]
     for (_, a), (_, b) in zip(full[2:], resumed):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("chunk_backend", ["gather", "mxu"])
+def test_sharded_streaming_matches_streaming(rng, chunk_backend):
+    """Rows-sharded chunked execution (VERDICT r4 #3): a frame taller
+    than any single shard's window streams through an 8-device rows mesh
+    byte-identical to the single-device StreamingUpscaler."""
+    import jax
+
+    from lanczos_tpu.models.streaming import ShardedStreamingUpscaler
+
+    mesh = jax.make_mesh((8,), ("rows",))
+    ins, outs = (192, 64), (384, 128)
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, ins, out_shape=outs, a=3
+    )
+    img = rng.integers(0, 256, size=(*ins, 3), dtype=np.uint8)
+    kw = dict(chunk_rows=16, chunk_backend=chunk_backend)
+    ref = StreamingUpscaler(cfg, **kw)(img)
+    sm = ShardedStreamingUpscaler(cfg, mesh, **kw)
+    # each shard's window covers one 16-row sub-chunk, far less than the
+    # 192-row frame: no device ever holds the frame
+    assert sm.win < ins[0] // 2
+    out = sm(img)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_streaming_tail_and_resume(rng):
+    """Non-R-divisible chunk counts pad the last device step; resume
+    aligns to super-chunk boundaries."""
+    import jax
+
+    from lanczos_tpu.models.streaming import ShardedStreamingUpscaler
+
+    mesh = jax.make_mesh((8,), ("rows",))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (88, 16), scale=(2, 1), a=2
+    )
+    img = rng.integers(0, 256, size=(88, 16, 3), dtype=np.uint8)
+    sm = ShardedStreamingUpscaler(cfg, mesh, chunk_rows=16,
+                                  chunk_backend="gather")
+    assert sm.n_chunks % sm.R  # the tail-padding path is exercised
+    full = dict(sm.chunks(lambda lo, hi: img[lo:hi]))
+    base = StreamingUpscaler(cfg, chunk_rows=16, chunk_backend="gather")
+    want = dict(base.chunks(lambda lo, hi: img[lo:hi]))
+    assert full.keys() == want.keys()
+    for y0 in want:
+        np.testing.assert_array_equal(full[y0], want[y0])
+    with pytest.raises(ValueError):
+        list(sm.chunks(lambda lo, hi: img[lo:hi], start_chunk=3))
+    resumed = dict(sm.chunks(lambda lo, hi: img[lo:hi], start_chunk=0))
+    assert resumed.keys() == want.keys()
