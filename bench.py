@@ -105,7 +105,16 @@ def main():
             f"# WARNING: device unhealthy (readback {rb:.1f}s) — timings "
             "unreliable", file=sys.stderr,
         )
-    dt = steady_time(fn, img, iters=50, rb_cost=rb) / batch  # per frame
+
+    # tunnel timing swings ±10% run-to-run: the headline is the MEDIAN of
+    # three repetitions and the min/max band rides the JSON, so docs
+    # quote a band, not the best draw (round-4 verdict weak #2)
+    reps = 3
+    dts = sorted(
+        steady_time(fn, img, iters=50, rb_cost=rb) / batch
+        for _ in range(reps)
+    )
+    dt = dts[reps // 2]
 
     out_mpix = out_shape[0] * out_shape[1] / 1e6
     mpix_s = out_mpix / dt
@@ -125,7 +134,11 @@ def main():
         fn16 = jax.jit(lambda x: _up(x, m16._ops))
         out16 = fn16(img)
         out16.block_until_ready()
-        dt16 = steady_time(fn16, img, iters=50, rb_cost=rb) / batch
+        dts16 = sorted(
+            steady_time(fn16, img, iters=50, rb_cost=rb) / batch
+            for _ in range(reps)
+        )
+        dt16 = dts16[reps // 2]
 
     dev = jax.devices()[0]
     min_bytes = (in_shape[0] * in_shape[1] + out_shape[0] * out_shape[1]) * 3
@@ -141,10 +154,13 @@ def main():
         # the nominal-spec fraction is reported alongside for reference
         "vs_baseline": round(mpix_s / measured_roof, 4),
         "vs_nominal_roofline": round(mpix_s / nominal_roof, 4),
+        # min/median/max of the 3 repetitions — the quotable band
+        "band_ms": [round(t * 1e3, 3) for t in dts],
     }
     if dt16 is not None:
         result["bf16_mpix_s"] = round(out_mpix / dt16, 1)
         result["bf16_vs_baseline"] = round(out_mpix / dt16 / measured_roof, 4)
+        result["bf16_band_ms"] = [round(t * 1e3, 3) for t in dts16]
     print(json.dumps(result))
     print(
         f"# backend={model.backend} device={dev.device_kind} "

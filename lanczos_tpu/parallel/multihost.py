@@ -151,3 +151,58 @@ def ici_halo_model(
         "exposed_s": exposed,
         "efficiency": t_shard / (t_shard + exposed),
     }
+
+
+def dcn_model(
+    cfg,
+    step_s: float,
+    *,
+    hosts: int = 2,
+    frames_per_step: int = 1,
+    channels: int = 3,
+    in_bytes: int = 1,
+    out_bytes: int = 1,
+    dcn_bw: float = 1.25e10,
+    latency_s: float = 1.0e-5,
+    remote_fraction: Optional[float] = None,
+) -> dict:
+    """Analytic DCN cost of the host boundary (input scatter / output
+    gather) — the term BASELINE.md names "the real multi-host cost" and
+    the TPU analog of the reference's AXI-Stream host boundary
+    (``lanczos.cpp:94-95``).
+
+    Regime is everything here, so it is a parameter: with a CENTRAL
+    stream source/sink (one host reads the video, one collects it — the
+    default), a fraction ``(hosts-1)/hosts`` of every step's input bytes
+    crosses DCN out and the same fraction of output bytes crosses back;
+    with HOST-LOCAL striped I/O (each host reads/writes its own slice of
+    the stream — how a production pipeline avoids this wall), pass
+    ``remote_fraction=0.0`` and the host boundary cost vanishes, leaving
+    the ICI halo term (:func:`ici_halo_model`) as the whole story.
+
+    ``step_s`` is one pipeline step's compute time per host
+    (``frames_per_step`` frames through the host's local row-sharded
+    devices).  The frame pipeline keeps ``depth`` steps in flight
+    (``models/video.py``), so one step of compute is available to hide
+    the wire under; ``exposed = max(0, t_dcn - step_s)``.
+
+    ``dcn_bw`` defaults to a 100 Gb/s-NIC-class 12.5 GB/s per host —
+    pass your platform's measured number (the 2-process Gloo test
+    measures a loopback anchor for exactly this slot,
+    ``tests/test_multihost.py``).
+    """
+    in_b = frames_per_step * cfg.in_shape[0] * cfg.in_shape[1] * channels * in_bytes
+    out_b = frames_per_step * cfg.out_shape[0] * cfg.out_shape[1] * channels * out_bytes
+    if remote_fraction is None:
+        remote_fraction = (hosts - 1) / hosts
+    t_dcn = latency_s + remote_fraction * (in_b + out_b) / dcn_bw
+    exposed = max(0.0, t_dcn - step_s)
+    return {
+        "in_bytes": in_b,
+        "out_bytes": out_b,
+        "remote_fraction": remote_fraction,
+        "t_dcn_s": t_dcn,
+        "t_hidden_s": step_s,
+        "exposed_s": exposed,
+        "efficiency": step_s / (step_s + exposed),
+    }

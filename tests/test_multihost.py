@@ -74,8 +74,31 @@ ok = ok and all(
     np.array_equal(np.asarray(s.data), ref_hls[s.index])
     for s in out_hls.addressable_shards
 )
+
+# loopback DCN anchor (round-4 verdict #4): time a cross-PROCESS ppermute
+# over the data axis (the only Gloo-backed hop here) so the dcn_model's
+# bandwidth slot has a measured number even on this dev box
+import time
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+nbytes = 4 << 20
+x = jax.device_put(
+    jnp.zeros((2, nbytes), jnp.uint8), NamedSharding(mesh, P("data"))
+)
+fn = jax.jit(jax.shard_map(
+    lambda v: jax.lax.ppermute(v, "data", [(0, 1), (1, 0)]),
+    mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+))
+jax.block_until_ready(fn(x))  # connect + compile
+iters = 5
+t0 = time.perf_counter()
+for _ in range(iters):
+    y = fn(x)
+jax.block_until_ready(y)
+bw = nbytes * iters / (time.perf_counter() - t0)  # bytes/s per direction
 with open(os.path.join(outdir, f"result_{pid}"), "w") as f:
-    f.write("PASS" if ok else "FAIL")
+    f.write(("PASS" if ok else "FAIL") + f" {bw:.0f}")
 '''
 
 
@@ -122,8 +145,28 @@ def test_two_process_dcn_sharded_upscaler(tmp_path):
         outs.append(out.decode(errors="replace"))
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
+    bws = []
     for pid in range(2):
-        assert (tmp_path / f"result_{pid}").read_text() == "PASS"
+        status, bw = (tmp_path / f"result_{pid}").read_text().split()
+        assert status == "PASS"
+        bws.append(float(bw))
+    # the measured Gloo-loopback bandwidth anchors the dcn_model's bw
+    # slot: the model must accept it and produce a sane efficiency for
+    # the 2-host streaming config (this is the loopback ANCHOR, not a
+    # DCN measurement — real NICs go in the same slot on a pod)
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.parallel.multihost import dcn_model
+
+    bw = min(bws)
+    assert bw > 1e6, f"implausible loopback bandwidth {bw}"
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+    )
+    m = dcn_model(cfg, 4 * 0.58e-3 / 8, hosts=2, frames_per_step=4,
+                  dcn_bw=bw)
+    assert 0 < m["efficiency"] <= 1.0
+    print(f"# gloo loopback anchor: {bw/1e9:.2f} GB/s -> central-source "
+          f"model eff {m['efficiency']:.3f}")
 
 
 def test_ici_halo_model():
@@ -146,3 +189,27 @@ def test_ici_halo_model():
     # a pathological setup (tiny shards, slow wire) must expose cost
     m2 = ici_halo_model(cfg, 8, 1e-6, ici_bw=1e8, latency_s=1e-4)
     assert 0 < m2["efficiency"] < 1.0
+
+
+def test_dcn_model():
+    """Both regimes of the host-boundary model (round-4 verdict #4):
+    a central stream source is DCN-bound at 4K→8K (the wall BASELINE.md
+    warns about), host-local striped I/O removes the term entirely."""
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.parallel.multihost import dcn_model
+
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+    )
+    step = 4 * 0.58e-3 / 8  # 4 frames/step across 8 row-sharded chips
+    central = dcn_model(cfg, step, hosts=2, frames_per_step=4)
+    # ~250 MB/step over a 12.5 GB/s NIC ≈ 20 ms vs 0.29 ms compute:
+    # central-source streaming is DCN-bound, not compute-bound
+    assert central["efficiency"] < 0.05
+    assert central["t_dcn_s"] > 50 * central["t_hidden_s"]
+    local = dcn_model(
+        cfg, step, hosts=2, frames_per_step=4, remote_fraction=0.0
+    )
+    assert local["efficiency"] == 1.0 or local["exposed_s"] <= 1e-5
+    # latency-only cost when nothing is remote
+    assert local["t_dcn_s"] == pytest.approx(1e-5)
