@@ -171,6 +171,25 @@ def main():
         file=sys.stderr,
     )
 
+    # BASELINE.md re-baselined targets (round 5): evidence-backed floors
+    # this benchmark ASSERTS on real hardware — set under the achieved
+    # bands by the tunnel's ±10% variance so they flag regressions, not
+    # noise.  Ceiling evidence: docs/KERNEL.md §6.1.
+    if jax.default_backend() != "cpu":
+        floors = {"vs_baseline": 0.28}
+        if dt16 is not None:
+            floors["bf16_vs_baseline"] = 0.55
+        below = {
+            k: (result[k], v) for k, v in floors.items() if result[k] < v
+        }
+        if below:
+            print(
+                f"# FAIL: below re-baselined floors: {below} "
+                "(BASELINE.md 'Targets')", file=sys.stderr,
+            )
+            return 1
+    return 0
+
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

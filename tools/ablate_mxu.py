@@ -286,7 +286,121 @@ def make_kernel(mx, variant):
     return kernel
 
 
+def make_swpipe_kernel(mx, bands_total):
+    """Software-pipelined COMPUTE across grid steps (round-4 verdict #2a):
+    a flat grid where step s runs band s's VERTICAL dot into a
+    double-buffered bf16 mid scratch and band s-1's HORIZONTAL dots out
+    of the other slot — the horizontal work carries no dependency on
+    step s's DMA or vertical result, and is issued BEFORE the DMA wait,
+    so it can hide under the in-flight band fetch (the compute analog of
+    the DMA prefetch; all measured dead ends were DMA-side)."""
+    t = mx.tile_out
+    cb = mx.cb
+    n_i = mx.num_tiles
+
+    def kernel(img_ref, wv, wh, out_ref, band, sems, midbuf):
+        s = pl.program_id(0)
+
+        def dma_for(band_idx, slot):
+            cc = band_idx // n_i
+            ii = band_idx % n_i
+            lo = ii * mx.tile_out
+            raw = (2 * lo * mx.dv + mx.off_v) // (2 * mx.nv) - mx.back_v
+            raw = jnp.clip(raw, 0, mx.ih_eff - mx.kv)
+            start = pl.multiple_of((raw // 8) * 8, 8)
+            return pltpu.make_async_copy(
+                img_ref.at[cc, pl.ds(start, mx.kv), :],
+                band.at[pl.ds(slot * mx.kv, mx.kv)],
+                sems.at[slot],
+            )
+
+        slot = s % 2
+
+        @pl.when(s == 0)
+        def _():
+            dma_for(0, 0).start()
+
+        @pl.when(s + 1 < bands_total)
+        def _():
+            dma_for(s + 1, (s + 1) % 2).start()
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        # horizontal pass for band s-1: reads only the OTHER mid slot —
+        # no data dependency on this step's DMA or vertical dot
+        @pl.when(s > 0)
+        def _():
+            m_hi = midbuf[pl.ds(pl.multiple_of((1 - slot) * t, 8), t)]
+            for b in range(mx.n_cb):
+                st = mx.starts_h[b]
+                acc = dot(m_hi[:, st : st + mx.kh], wh[mx.uniq_h[b]])
+                qv = jnp.trunc(jnp.clip(acc, 0.0, 255.0)).astype(jnp.int32)
+                out_ref[0, :, b * cb : (b + 1) * cb] = qv.astype(jnp.uint8)
+
+        # vertical pass for band s into this step's mid slot
+        @pl.when(s < bands_total)
+        def _():
+            dma_for(s, slot).wait()
+            xb = band[pl.ds(pl.multiple_of(slot * mx.kv, 8), mx.kv)]
+            xb = xb.astype(jnp.int32).astype(jnp.bfloat16)
+            mid = dot(wv[0], xb)
+            midbuf[pl.ds(pl.multiple_of(slot * t, 8), t)] = mid.astype(
+                jnp.bfloat16
+            )
+
+    return kernel
+
+
+def build_swpipe(tile):
+    mx = _mxu_plan(cfg, tile)
+    if mx is None:
+        print(f"tile {tile}: plan infeasible", flush=True)
+        return None, None
+    wv_hi, _ = _split_bf16(mx.wv)
+    wh_hi, _ = _split_bf16(mx.wh)
+    nu = wh_hi.shape[0]
+    w_eff = _round_up(W, 128)
+    n_i = mx.num_tiles
+    bands_total = 12 * n_i
+    fn = pl.pallas_call(
+        make_swpipe_kernel(mx, bands_total),
+        grid=(bands_total + 1,),  # one extra step drains the last band
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                (1, wv_hi.shape[1], mx.kv),
+                lambda s: (s % n_i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (nu, mx.kh, wh_hi.shape[2]),
+                lambda s: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, mx.tile_out, mx.n_cb * mx.cb),
+            lambda s: (
+                jnp.maximum(s - 1, 0) // n_i,
+                jnp.maximum(s - 1, 0) % n_i,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((12, OH, OW), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((2 * mx.kv, w_eff), jnp.uint8),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2 * mx.tile_out, w_eff), jnp.bfloat16),
+        ],
+    )
+    return jax.jit(lambda x: fn(x, wv_hi, wh_hi)), mx
+
+
 def build(tile, variant):
+    if variant == "swpipe":
+        return build_swpipe(tile)
     mx = _mxu_plan(cfg, tile)
     if mx is None:
         print(f"tile {tile}: plan infeasible", flush=True)
@@ -373,7 +487,7 @@ mismatches = []
 KNOWN = {
     "full", "notrunc", "stackh", "manout", "band3", "rollband", "bfmid",
     "f32full", "f32mstack", "f32nstack", "f32novertlo", "f32nomidlo",
-    "f32nowhlo",
+    "f32nowhlo", "swpipe",
 }
 for spec in sys.argv[1:] or ["128:full"]:
     tile_s, variant = spec.split(":")
