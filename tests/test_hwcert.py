@@ -14,7 +14,8 @@ def test_hwcert_cpu_smoke(capsys):
     sys.path.insert(0, ".")
     import hwcert
 
-    rc = hwcert.main(["--cpu-smoke", "--seeds", "4", "--exact-seeds", "2"])
+    rc = hwcert.main(["--cpu-smoke", "--seeds", "4", "--exact-seeds", "2",
+                  "--aniso-seeds", "0", "--u16-seeds", "0", "--y4m", "0"])
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     summary = lines[-1]
@@ -60,8 +61,30 @@ def test_hwcert_report_file(tmp_path, capsys):
 
     out = tmp_path / "report.jsonl"
     rc = hwcert.main(["--cpu-smoke", "--seeds", "2", "--exact-seeds", "1",
-                      "--out", str(out)])
+                      "--aniso-seeds", "0", "--u16-seeds", "0",
+                      "--y4m", "0", "--out", str(out)])
     capsys.readouterr()
     assert rc == 0
     rows = [json.loads(l) for l in out.read_text().splitlines()]
     assert rows[-1]["summary"] and len(rows) == 4
+
+
+def test_hwcert_extended_classes(capsys):
+    """Round-5 extension (verdict weak #5): anisotropic, uint16, and the
+    420p10 Y4M end-to-end class all certify in smoke mode."""
+    sys.path.insert(0, ".")
+    import hwcert
+
+    rc = hwcert.main(["--cpu-smoke", "--seeds", "0", "--exact-seeds", "0",
+                      "--aniso-seeds", "2", "--u16-seeds", "2", "--y4m", "1"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    summary = lines[-1]
+    assert summary["failed"] == 0
+    assert summary["aniso"] == 2
+    assert summary["uint16"] == 2
+    assert summary["y4m"] == 1
+    kinds = {r.get("kind") for r in lines[:-1]}
+    assert kinds == {"aniso", "uint16", "y4m_420p10"}
+    y4m_row = next(r for r in lines[:-1] if r.get("kind") == "y4m_420p10")
+    assert y4m_row["sha256_16"]  # artifact trail of the output bytes
