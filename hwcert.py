@@ -139,6 +139,8 @@ def run_seed(seed: int, cpu_smoke: bool, cfg=None, batch=None) -> dict:
     rng = np.random.default_rng(seed)
     if cfg is None:
         cfg, batch = draw_config(rng, cpu_smoke)
+    elif batch is None:
+        batch = 1
     h, w = cfg.in_shape
     img = rng.integers(0, 256, size=(batch, h, w, 3), dtype=np.uint8)
     if batch == 1:
@@ -224,7 +226,7 @@ def run_seed_aniso(seed: int, cpu_smoke: bool) -> dict:
         Profile.PRECISE, (h, w),
         out_shape=(h * n1 // d1, w * n2 // d2),
         a=int(rng.integers(2, 4)),
-        edge_mode=EdgeMode(EDGES[rng.integers(len(EDGES) - 1)]),
+        edge_mode=EdgeMode(EDGES[rng.integers(len(EDGES))]),
         align=Align("center" if rng.integers(2) else "zero"),
         dering=bool(rng.integers(2)),
     )

@@ -367,13 +367,15 @@ class StreamingUpscaler:
             if pool is not None:
                 # an abandoned generator must not leave get_rows running on
                 # the worker thread after control returns to the caller:
-                # cancel what hasn't started, then JOIN anything in flight
+                # cancel what hasn't started, then join anything in flight —
+                # bounded, so a get_rows stalled on a dead source (socket,
+                # pipe) cannot hang generator close/GC forever
                 if fut is not None and not fut.cancel():
                     try:
-                        fut.result()
+                        fut.result(timeout=60.0)
                     except Exception:
                         pass  # surfaced to nobody — the generator is dead
-                pool.shutdown(wait=True, cancel_futures=True)
+                pool.shutdown(wait=False, cancel_futures=True)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """Whole-frame convenience wrapper over :meth:`chunks`."""
@@ -540,9 +542,10 @@ class ShardedStreamingUpscaler(StreamingUpscaler):
                 yield from self._drain(inflight.popleft())
         finally:
             if pool is not None:
+                # bounded join, same rationale as the base class
                 if fut is not None and not fut.cancel():
                     try:
-                        fut.result()
+                        fut.result(timeout=60.0)
                     except Exception:
                         pass
-                pool.shutdown(wait=True, cancel_futures=True)
+                pool.shutdown(wait=False, cancel_futures=True)

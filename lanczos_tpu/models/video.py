@@ -111,7 +111,13 @@ class VideoUpscaler:
                         f"frame dims {frame.shape[:2]} != config "
                         f"{self.cfg.in_shape}"
                     )
-                buf.append(np.asarray(frame))
+                # copy when batching: the producer may legally reuse its
+                # frame buffer (camera/ffmpeg pattern) between our pulls,
+                # and we hold references until the stack flushes
+                buf.append(
+                    np.array(frame, copy=True)
+                    if self.batch > 1 else np.asarray(frame)
+                )
                 if len(buf) == self.batch:
                     yield buf
                     buf = []

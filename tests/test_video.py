@@ -71,3 +71,23 @@ def test_sharded_video_call_and_tail(rng):
     single = Upscaler(cfg, backend="xla")
     for k in range(7):
         np.testing.assert_array_equal(out[k], np.asarray(single(video[k])))
+
+
+def test_video_frames_producer_reuses_buffer(rng):
+    """A producer that rewrites ONE preallocated frame buffer between
+    pulls (camera/ffmpeg pattern) must not alias into the batch stack
+    (round-5 review finding: batching buffered frames by reference)."""
+    cfg = ResampleConfig.from_profile(Profile.PRECISE, (16, 12), scale=(2, 1), a=2)
+    frames = _frames(rng, 6, 16, 12)
+    buf = np.empty_like(frames[0])
+
+    def producer():
+        for f in frames:
+            buf[...] = f  # same ndarray object every iteration
+            yield buf
+
+    vu = VideoUpscaler(cfg, backend="xla", depth=2, batch=3)
+    outs = list(vu.frames(producer()))
+    single = Upscaler(cfg, backend="xla")
+    for k in range(6):
+        np.testing.assert_array_equal(outs[k], np.asarray(single(frames[k])))
