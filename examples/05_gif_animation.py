@@ -1,4 +1,4 @@
-"""Upscale an animated GIF frame-by-frame and write a PNG sequence.
+"""Upscale an animated GIF: GIF in → upscaled animated GIF out (+ PNGs).
 
 Demonstrates the stbi_load_gif analog (decode_gif_frames: composited
 full-canvas frames + per-frame delays) feeding the batched video
@@ -33,7 +33,17 @@ outdir = pathlib.Path(sys.argv[2])
 outdir.mkdir(parents=True, exist_ok=True)
 for i, (frame, delay) in enumerate(zip(up, delays)):
     write_image(outdir / f"frame_{i:04d}_{delay}ms.png", frame)
-print(f"wrote {t} frames at {up.shape[2]}x{up.shape[1]} to {outdir}/")
+
+# full round trip: re-encode the upscaled clip as an animated GIF
+# (encode_gif is beyond-stb — stb_image_write has no GIF writer)
+from lanczos_tpu.io.formats import encode_gif
+
+rgb_frames = np.stack([convert_channels(f, 3) for f in up])
+(outdir / "upscaled.gif").write_bytes(
+    encode_gif(rgb_frames, delays_cs=[max(1, d // 10) for d in delays])
+)
+print(f"wrote {t} frames at {up.shape[2]}x{up.shape[1]} to {outdir}/ "
+      "(+ upscaled.gif)")
 
 # flatten to RGB over black instead (e.g. for JPEG output):
 rgb = convert_channels(up[0], 3)

@@ -214,7 +214,9 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
     Formats: ``png`` (kw: ``compress_level``), ``jpeg``/``jpg`` (kw:
     ``quality``, ``subsample``), ``bmp``, ``tga``, ``hdr`` (takes float32
     linear radiance, or uint8 lifted via stb's gamma-2.2 convention),
-    ``pnm``/``ppm``/``pgm`` — stb_image_write.h's full format set.
+    ``pnm``/``ppm``/``pgm`` — stb_image_write.h's full format set — plus
+    ``gif`` (kw: ``delays_cs``, ``loop``; animated for (T, H, W, C)
+    input), which stb_image_write lacks.
     """
     from lanczos_tpu.io import formats, jpeg
 
@@ -227,6 +229,8 @@ def encode_image(img: np.ndarray, format: str, **kw) -> bytes:
         return formats.encode_bmp(img)
     if fmt in ("tga", "icb", "vda", "vst"):
         return formats.encode_tga(img)
+    if fmt == "gif":
+        return formats.encode_gif(img, **kw)
     if fmt == "hdr":
         return formats.encode_hdr(img)
     if fmt in ("pnm", "ppm", "pgm"):

@@ -69,6 +69,13 @@ class _Lib:
                 ctypes.c_long,
             ]
             self.gif_lzw_decode = lzw_cdll.gif_lzw_decode
+            if hasattr(lzw_cdll, "gif_lzw_encode"):  # older prebuilt .so
+                lzw_cdll.gif_lzw_encode.restype = ctypes.c_long
+                lzw_cdll.gif_lzw_encode.argtypes = [
+                    self.u8p, ctypes.c_long, ctypes.c_int, self.u8p,
+                    ctypes.c_long,
+                ]
+                self.gif_lzw_encode = lzw_cdll.gif_lzw_encode
 
 
 def _build_one(src: str, so: str) -> Optional[str]:

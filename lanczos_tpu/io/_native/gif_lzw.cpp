@@ -92,3 +92,76 @@ extern "C" long gif_lzw_decode(const uint8_t *data, long nbytes,
     }
     return n_out;
 }
+
+// GIF-flavored LZW encoder — the write-side twin (same split: Python owns
+// the container, C++ the bit-serial loop).  Emits CLEAR up front, variable
+// width codes bumped exactly where formats._lzw_decode/gif_lzw_decode bump
+// theirs (after adding an entry, when next_code reaches 1<<code_size), and
+// a CLEAR + dictionary reset when the table fills at 4096.  Returns bytes
+// written, or -1 if out_cap is too small (caller sizes 3*n/2 + 256).
+extern "C" long gif_lzw_encode(const uint8_t *idx, long npixels,
+                               int min_code_size, uint8_t *out,
+                               long out_cap) {
+    if (min_code_size < 2 || min_code_size > 11) return -2;
+    const int clear = 1 << min_code_size;
+    const int eoi = clear + 1;
+    // child[prev*256 + byte] = code+1 (0 = absent)
+    static thread_local int16_t child[4096 * 256];
+    memset(child, 0, sizeof(child));
+
+    uint32_t acc = 0;
+    int nbits = 0;
+    long n_out = 0;
+    int code_size = min_code_size + 1;
+    int next_code = eoi + 1;
+
+#define EMIT(c)                                            \
+    do {                                                   \
+        acc |= (uint32_t)(c) << nbits;                     \
+        nbits += code_size;                                \
+        while (nbits >= 8) {                               \
+            if (n_out >= out_cap) return -1;               \
+            out[n_out++] = (uint8_t)(acc & 0xff);          \
+            acc >>= 8;                                     \
+            nbits -= 8;                                    \
+        }                                                  \
+    } while (0)
+
+    EMIT(clear);
+    if (npixels > 0) {
+        int prev = idx[0];
+        for (long i = 1; i < npixels; ++i) {
+            const int b = idx[i];
+            const long key = (long)prev * 256 + b;
+            if (child[key]) {
+                prev = child[key] - 1;
+                continue;
+            }
+            EMIT(prev);
+            if (next_code < 4096) {
+                child[key] = (int16_t)(next_code + 1);
+                ++next_code;
+                // DELAYED bump (encoder side): the decoder adds its k-th
+                // entry one code read later than we do, so it widens one
+                // code later — widen only once next_code EXCEEDS the
+                // current width's range
+                if (next_code == (1 << code_size) + 1 && code_size < 12)
+                    ++code_size;
+            } else {
+                EMIT(clear);
+                memset(child, 0, sizeof(child));
+                next_code = eoi + 1;
+                code_size = min_code_size + 1;
+            }
+            prev = b;
+        }
+        EMIT(prev);
+    }
+    EMIT(eoi);
+#undef EMIT
+    if (nbits > 0) {
+        if (n_out >= out_cap) return -1;
+        out[n_out++] = (uint8_t)(acc & 0xff);
+    }
+    return n_out;
+}

@@ -1247,3 +1247,211 @@ def probe_tga(data: bytes):
     else:
         channels = 4 if bpp == 32 else 3
     return (w, h, channels, 8)
+
+
+# ---------------------------------------------------------------------------
+# GIF encode (beyond stb: stb_image_write has no GIF writer).  Global
+# median-cut palette + GIF89a container + LZW (native C++ bit-serial core
+# with a behavior-identical Python fallback, the write twin of _lzw_decode).
+
+
+def _lzw_encode(idx: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-flavored LZW encode of a flat uint8 index array.
+
+    Emits CLEAR up front, widens codes with the encoder-side DELAYED bump
+    (the decoder adds its k-th entry one code read later, so it widens one
+    code later — the encoder widens once next_code exceeds the current
+    range), and CLEAR+resets when the table fills at 4096 — so
+    decode(encode(x)) is x by construction."""
+    from lanczos_tpu.io._native import native_lib
+
+    n = int(idx.size)
+    lib = native_lib()
+    if lib is not None and hasattr(lib, "gif_lzw_encode"):
+        src = np.ascontiguousarray(idx, np.uint8)
+        out = np.empty(3 * n // 2 + 256, np.uint8)
+        rc = lib.gif_lzw_encode(
+            src.ctypes.data_as(lib.u8p), n, min_code_size,
+            out.ctypes.data_as(lib.u8p), out.size,
+        )
+        if rc >= 0:
+            return out[:rc].tobytes()
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    acc = nbits = 0
+    parts = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            parts.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    it = iter(np.asarray(idx, np.uint8).ravel().tolist())
+    prev = next(it, None)
+    if prev is not None:
+        for b in it:
+            key = (prev, b)
+            code = table.get(key)
+            if code is not None:
+                prev = code
+                continue
+            emit(prev)
+            if next_code < 4096:
+                table[key] = next_code
+                next_code += 1
+                # delayed bump: the decoder adds its k-th entry one code
+                # read later than the encoder does, so it widens one code
+                # later — widen only once next_code EXCEEDS the range
+                if next_code == (1 << code_size) + 1 and code_size < 12:
+                    code_size += 1
+            else:
+                emit(clear)
+                table.clear()
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            prev = b
+        emit(prev)
+    emit(eoi)
+    if nbits:
+        parts.append(acc & 0xFF)
+    return bytes(parts)
+
+
+def _gif_palette(frames: np.ndarray):
+    """Global palette + per-frame index maps.
+
+    ≤256 distinct colors → exact palette (lossless round-trip); more →
+    median-cut over the distinct colors to 256, nearest-palette mapping."""
+    keys = (
+        frames[..., 0].astype(np.uint32) << 16
+        | frames[..., 1].astype(np.uint32) << 8
+        | frames[..., 2].astype(np.uint32)
+    )
+    uniq, inv = np.unique(keys, return_inverse=True)
+    cols = np.stack(
+        [uniq >> 16 & 255, uniq >> 8 & 255, uniq & 255], axis=1
+    ).astype(np.uint8)
+    if uniq.size <= 256:
+        pal = cols
+        u2p = np.arange(uniq.size)
+    else:
+        boxes = [np.arange(uniq.size)]
+        while len(boxes) < 256:
+            spans = [
+                (np.ptp(cols[b], axis=0).max() if b.size > 1 else -1, i)
+                for i, b in enumerate(boxes)
+            ]
+            span, bi = max(spans)
+            if span <= 0:
+                break  # every box is a single color already
+            b = boxes.pop(bi)
+            ch = int(np.argmax(np.ptp(cols[b], axis=0)))
+            order = b[np.argsort(cols[b, ch], kind="stable")]
+            boxes.insert(bi, order[: order.size // 2])
+            boxes.insert(bi + 1, order[order.size // 2 :])
+        pal = np.stack(
+            [
+                np.round(cols[b].mean(axis=0)).astype(np.uint8)
+                for b in boxes
+            ]
+        )
+        # nearest palette entry per distinct color (vectorized over the
+        # ≤ |uniq| × 256 distance table, chunked to bound memory)
+        u2p = np.empty(uniq.size, np.int64)
+        p32 = pal.astype(np.int32)
+        for lo in range(0, uniq.size, 65536):
+            c = cols[lo : lo + 65536].astype(np.int32)
+            d = ((c[:, None, :] - p32[None, :, :]) ** 2).sum(axis=2)
+            u2p[lo : lo + 65536] = np.argmin(d, axis=1)
+    index_frames = u2p[inv].reshape(keys.shape).astype(np.uint8)
+    return pal, index_frames
+
+
+def encode_gif(
+    frames: np.ndarray,
+    delays_cs=None,
+    loop: int = 0,
+) -> bytes:
+    """Encode (H, W[, C]) or (T, H, W[, C]) uint8 frames as a GIF.
+
+    Beyond-stb surface (stb_image_write has no GIF encoder): one global
+    palette — exact when the clip has ≤256 distinct colors (lossless
+    round-trip through :func:`decode_gif` / :func:`decode_gif_frames`),
+    median-cut quantized otherwise.  Multi-frame input writes a GIF89a
+    animation: ``delays_cs`` is the per-frame delay in centiseconds (an
+    int, or a length-T sequence; default 10), ``loop`` the Netscape loop
+    count (0 = forever).  Grayscale is replicated to RGB; RGBA is
+    rejected (use 3 channels — GIF alpha is 1-bit color-key only).
+    """
+    frames = np.asarray(frames)
+    if frames.ndim == 2:
+        frames = frames[None, :, :, None]
+    elif frames.ndim == 3 and frames.shape[-1] in (1, 3):
+        frames = frames[None]
+    elif frames.ndim == 3 and frames.shape[-1] == 4:
+        raise ValueError(
+            "encode_gif takes 1 or 3 channels (GIF transparency is "
+            "color-key only; composite alpha first).  For a (T, H, 4) "
+            "grayscale stack pass (T, H, W, 1) explicitly."
+        )
+    elif frames.ndim == 3:  # (T, H, W) grayscale stack
+        frames = frames[..., None]
+    if frames.ndim != 4 or frames.dtype != np.uint8:
+        raise ValueError("encode_gif wants uint8 (T?, H, W, 1|3) frames")
+    if frames.shape[-1] == 1:
+        frames = np.repeat(frames, 3, axis=-1)
+    if frames.shape[-1] != 3:
+        raise ValueError(
+            f"encode_gif takes 1 or 3 channels, got {frames.shape[-1]} "
+            "(GIF transparency is color-key only; composite alpha first)"
+        )
+    t, h, w = frames.shape[:3]
+    check_dims(w, h)
+    pal, idx = _gif_palette(frames)
+    pbits = max(2, int(np.ceil(np.log2(max(pal.shape[0], 2)))))
+    gct = np.zeros((1 << pbits, 3), np.uint8)
+    gct[: pal.shape[0]] = pal
+
+    if delays_cs is None:
+        delays = [10] * t
+    elif np.isscalar(delays_cs):
+        delays = [int(delays_cs)] * t
+    else:
+        delays = [int(d) for d in delays_cs]
+        if len(delays) != t:
+            raise ValueError(f"{len(delays)} delays for {t} frames")
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | (pbits - 1) << 4 | (pbits - 1), 0, 0
+    )
+    out += gct.tobytes()
+    if t > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
+    for k in range(t):
+        if t > 1:
+            # graphic control: dispose=1 (keep), no transparency
+            out += b"\x21\xf9\x04" + struct.pack(
+                "<BHB", 1 << 2, delays[k], 0
+            ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        mcs = pbits
+        out.append(mcs)
+        data = _lzw_encode(idx[k].ravel(), mcs)
+        for lo in range(0, len(data), 255):
+            sub = data[lo : lo + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -303,3 +303,77 @@ def test_bmp_bitfields_24bpp_rejected(rng):
     )
     with pytest.raises(FormatError):
         decode_bmp(hdr + dib + masks + rowbytes)
+
+
+def test_gif_encode_roundtrip_exact(rng):
+    """encode_gif with ≤256 distinct colors is LOSSLESS through our own
+    decoder (exact global palette)."""
+    from lanczos_tpu.io.formats import encode_gif
+
+    pal = rng.integers(0, 256, (40, 3), np.uint8)
+    img = pal[rng.integers(0, 40, (33, 47))]
+    got = decode_gif(encode_gif(img))
+    np.testing.assert_array_equal(got[..., :3], img)
+
+
+def test_gif_encode_animation_roundtrip(rng):
+    """Animated encode: frames and delays survive our decode_gif_frames
+    and PIL cross-decodes the container."""
+    import io as _io
+
+    from PIL import Image as PIL
+
+    from lanczos_tpu.io.formats import decode_gif_frames, encode_gif
+
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    frames = pal[rng.integers(0, 16, (5, 21, 17))]
+    data = encode_gif(frames, delays_cs=[2, 3, 4, 5, 6], loop=0)
+    got, delays = decode_gif_frames(data)
+    assert got.shape[0] == 5
+    np.testing.assert_array_equal(got[..., :3], frames)
+    assert list(delays) == [20, 30, 40, 50, 60]  # ms
+    pim = PIL.open(_io.BytesIO(data))
+    assert pim.n_frames == 5
+    pim.seek(3)
+    np.testing.assert_array_equal(
+        np.asarray(pim.convert("RGB")), frames[3]
+    )
+
+
+def test_gif_encode_quantized_many_colors(rng):
+    """>256 distinct colors: median-cut palette, bounded error."""
+    from lanczos_tpu.io.formats import encode_gif
+
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)  # ~4096 colors
+    got = decode_gif(encode_gif(img))
+    err = np.abs(got[..., :3].astype(int) - img.astype(int))
+    assert err.mean() < 24  # quantized but in the right ballpark
+    assert got[..., :3].dtype == np.uint8
+
+
+def test_gif_encode_python_native_lzw_identical(rng, monkeypatch):
+    """The pure-Python LZW encoder is byte-identical to the native core."""
+    from lanczos_tpu.io import _native
+    from lanczos_tpu.io.formats import _lzw_decode, _lzw_encode
+
+    idx = rng.integers(0, 200, 7000, dtype=np.uint8)
+    native = _lzw_encode(idx, 8)
+    monkeypatch.setattr(_native, "native_lib", lambda: None)
+    monkeypatch.setattr(
+        "lanczos_tpu.io._native.native_lib", lambda: None
+    )
+    pure = _lzw_encode(idx, 8)
+    assert native == pure
+    np.testing.assert_array_equal(_lzw_decode(pure, 8, idx.size), idx)
+
+
+def test_gif_encode_grayscale_and_errors(rng):
+    from lanczos_tpu.io.formats import encode_gif
+
+    g = rng.integers(0, 256, (9, 11), np.uint8)
+    got = decode_gif(encode_gif(g))
+    np.testing.assert_array_equal(got[..., 0], g)
+    with pytest.raises(ValueError):
+        encode_gif(rng.integers(0, 256, (4, 4, 4), np.uint8))  # RGBA
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((4, 4, 3), np.float32))
