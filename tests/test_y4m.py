@@ -355,3 +355,30 @@ def test_upscale_y4m_mesh_matches_single_chip(rng, tmp_path):
                       mesh=mesh)
     assert (hdr.width, hdr.height) == (32, 32)
     assert meshed.read_bytes() == single.read_bytes()
+
+
+def test_upscale_y4m_mesh_deep_stream(rng, tmp_path):
+    """10-bit (420p10) streams over the mesh: the ShardedUpscaler uint16
+    contract inside the plane-native pipeline, byte-identical to the
+    single-chip run."""
+    import jax
+
+    from lanczos_tpu.models.video import upscale_y4m
+
+    frames = [
+        (
+            rng.integers(0, 1024, (16, 16), np.uint16),
+            rng.integers(0, 1024, (8, 8), np.uint16),
+            rng.integers(0, 1024, (8, 8), np.uint16),
+        )
+        for _ in range(4)
+    ]
+    src = tmp_path / "deep.y4m"
+    write_y4m(str(src), frames, fps=(24, 1), colorspace="420p10")
+    single, meshed = tmp_path / "s.y4m", tmp_path / "m.y4m"
+    upscale_y4m(str(src), str(single), scale=(2, 1), a=2, batch=2,
+                backend="xla")
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    upscale_y4m(str(src), str(meshed), scale=(2, 1), a=2, batch=2,
+                mesh=mesh)
+    assert meshed.read_bytes() == single.read_bytes()
