@@ -205,3 +205,23 @@ def test_sharded_streaming_tail_and_resume(rng):
         list(sm.chunks(lambda lo, hi: img[lo:hi], start_chunk=3))
     resumed = dict(sm.chunks(lambda lo, hi: img[lo:hi], start_chunk=0))
     assert resumed.keys() == want.keys()
+
+
+def test_sharded_streaming_rational_and_edges(rng):
+    """Rational scale + reflect edges through the rows-sharded chunked
+    path (gather formulation), byte-identical to single-device."""
+    import jax
+
+    from lanczos_tpu.models.streaming import ShardedStreamingUpscaler
+
+    mesh = jax.make_mesh((4,), ("rows",))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (96, 32), scale=(3, 2), a=3,
+        edge_mode=EdgeMode.REFLECT, dering=True,
+    )
+    img = rng.integers(0, 256, size=(96, 32, 3), dtype=np.uint8)
+    ref = StreamingUpscaler(cfg, chunk_rows=12, chunk_backend="gather")(img)
+    out = ShardedStreamingUpscaler(
+        cfg, mesh, chunk_rows=12, chunk_backend="gather"
+    )(img)
+    np.testing.assert_array_equal(out, ref)
