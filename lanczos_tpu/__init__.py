@@ -29,7 +29,10 @@ from lanczos_tpu.core.config import (  # noqa: F401
     Profile,
     ResampleConfig,
 )
-from lanczos_tpu.models.streaming import StreamingUpscaler  # noqa: F401
+from lanczos_tpu.models.streaming import (  # noqa: F401
+    ShardedStreamingUpscaler,
+    StreamingUpscaler,
+)
 from lanczos_tpu.models.upscaler import Upscaler, upscale  # noqa: F401
 from lanczos_tpu.models.video import VideoUpscaler, upscale_y4m  # noqa: F401
 from lanczos_tpu.parallel.sharded import ShardedUpscaler  # noqa: F401

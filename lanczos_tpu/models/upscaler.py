@@ -434,6 +434,7 @@ def upscale(
     profile: Profile | str = Profile.PRECISE,
     a: int = 3,
     backend: str = "auto",
+    mesh=None,
     **overrides,
 ) -> jnp.ndarray:
     """One-shot functional API: upscale (…, H, W, C) by N/D or to out_shape.
@@ -441,7 +442,11 @@ def upscale(
     A bare 2-D (H, W) image is treated as single-channel grayscale (the
     behavior of the reference's stb loader with ``req_comp=1``) and
     returned 2-D.  Repeat calls with the same (config, backend) reuse one
-    compiled :class:`Upscaler` (LRU of 64)."""
+    compiled :class:`Upscaler` (LRU of 64).
+
+    ``mesh``: run row+batch sharded on a (data × rows) mesh via
+    :class:`~lanczos_tpu.parallel.sharded.ShardedUpscaler` (input must be
+    batched (B, H, W, C) with B divisible by the data-axis size)."""
     gray2d = getattr(img, "ndim", 0) == 2
     if gray2d:
         img = img[..., None]
@@ -449,5 +454,10 @@ def upscale(
     cfg = ResampleConfig.from_profile(
         profile, (h, w), out_shape=out_shape, scale=scale, a=a, **overrides
     )
+    if mesh is not None:
+        from lanczos_tpu.parallel.sharded import ShardedUpscaler
+
+        out = ShardedUpscaler(cfg, mesh, backend=backend)(img)
+        return out[..., 0] if gray2d else out
     out = _cached_upscaler(cfg, backend)(img)
     return out[..., 0] if gray2d else out

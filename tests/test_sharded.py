@@ -259,3 +259,17 @@ def test_sharded_uint16_contract(rng):
     out = np.asarray(ShardedUpscaler(cfg, mesh)(img16))
     assert out.dtype == np.uint16
     np.testing.assert_array_equal(out, ref)
+
+
+def test_upscale_one_shot_mesh(rng):
+    """upscale(..., mesh=) routes through ShardedUpscaler."""
+    from lanczos_tpu.models.upscaler import upscale
+
+    mesh = jax.make_mesh((2, 4), ("data", "rows"))
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (32, 24), scale=(2, 1), a=2
+    )
+    img = _img(rng, 2, 32, 24)
+    ref = np.asarray(Upscaler(cfg, backend="xla")(img))
+    out = np.asarray(upscale(img, scale=(2, 1), a=2, mesh=mesh))
+    np.testing.assert_array_equal(out, ref)
