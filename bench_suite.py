@@ -254,9 +254,14 @@ def main():
         from lanczos_tpu.parallel.multihost import ici_halo_model
 
         virtual = jax.default_backend() == "cpu"
-        model = ici_halo_model(
-            cfg, R, dt1, halo_bytes=sh.halo_spec()["bytes"]
-        )
+        model_kw = dict(halo_bytes=sh.halo_spec()["bytes"])
+        if not virtual:
+            # real chips: replace the model's assumed link bandwidth with
+            # the measured ring-ppermute number (multihost.measure_ici_bw)
+            from lanczos_tpu.parallel.multihost import measure_ici_bw
+
+            model_kw["ici_bw"] = measure_ici_bw(mesh, "rows")
+        model = ici_halo_model(cfg, R, dt1, **model_kw)
         print(json.dumps({
             "metric": f"{outs[1]}x{outs[0]}_a3_mesh{D}x{R}",
             "value": round(total_mpix_s, 1),

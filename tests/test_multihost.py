@@ -213,3 +213,20 @@ def test_dcn_model():
     assert local["efficiency"] == 1.0 or local["exposed_s"] <= 1e-5
     # latency-only cost when nothing is remote
     assert local["t_dcn_s"] == pytest.approx(1e-5)
+
+
+def test_measure_ici_bw_api():
+    """The ICI-bandwidth validation hook runs on any mesh (here the
+    virtual CPU mesh — the number is memcpy noise, the API contract is
+    what's under test) and plugs into ici_halo_model's bw slot."""
+    from lanczos_tpu.core.config import Profile, ResampleConfig
+    from lanczos_tpu.parallel.multihost import ici_halo_model, measure_ici_bw
+
+    mesh = jax.make_mesh((8,), ("rows",))
+    bw = measure_ici_bw(mesh, nbytes=1 << 16, iters=3)
+    assert bw > 0
+    cfg = ResampleConfig.from_profile(
+        Profile.PRECISE, (2160, 3840), out_shape=(4320, 7680), a=3
+    )
+    m = ici_halo_model(cfg, 8, 0.58e-3, ici_bw=bw)
+    assert 0 < m["efficiency"] <= 1.0
