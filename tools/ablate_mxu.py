@@ -7,7 +7,7 @@ split-merge measurements on the real chip:
         128:full 128:notrunc 128:stackh 128:manout 128:band3 \
         128:rollband 96:full 64:full 240:full \
         128:f32full 128:f32mstack 128:f32nstack \
-        128:f32novertlo 128:f32nomidlo 128:f32nowhlo
+        128:f32novertlo 128:f32nomidlo 128:f32nowhlo 128:swpipe
 
 Each spec is ``tile:variant``; variants delete or restructure one stage
 of an exact replica of ops/resample_pallas.py's MXU kernel so the
