@@ -377,3 +377,51 @@ def test_gif_encode_grayscale_and_errors(rng):
         encode_gif(rng.integers(0, 256, (4, 4, 4), np.uint8))  # RGBA
     with pytest.raises(ValueError):
         encode_gif(np.zeros((4, 4, 3), np.float32))
+
+
+def test_gif_encode_lzw_table_full_reset(rng):
+    """Streams long enough to fill the 4096-entry LZW table exercise the
+    encoder's CLEAR+reset path; decode must stay lossless (native and
+    pure-Python encoders byte-identical)."""
+    from lanczos_tpu.io import _native
+    from lanczos_tpu.io.formats import _lzw_decode, _lzw_encode
+
+    for mcs, hi in ((8, 256), (2, 4)):
+        idx = rng.integers(0, hi, 300_000, dtype=np.uint8)
+        enc = _lzw_encode(idx, mcs)
+        np.testing.assert_array_equal(_lzw_decode(enc, mcs, idx.size), idx)
+    # degenerate streams: constant, alternating, single pixel, empty
+    from lanczos_tpu.io.formats import encode_gif, decode_gif
+
+    flat = np.full((77, 91, 3), 200, np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif(flat))[..., :3], flat)
+    alt = np.zeros((64, 64, 3), np.uint8)
+    alt[::2] = 255
+    np.testing.assert_array_equal(decode_gif(encode_gif(alt))[..., :3], alt)
+    one = np.array([[[1, 2, 3]]], np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif(one))[..., :3], one)
+
+
+def test_gif_encode_pil_cross_decode_fuzz(rng):
+    """Randomized cross-check: PIL decodes our GIFs to the exact pixels
+    for <=256-color content (sizes, palette sizes, frame counts)."""
+    import io as _io
+
+    from PIL import Image as PIL
+
+    from lanczos_tpu.io.formats import encode_gif
+
+    for _ in range(6):
+        ncol = int(rng.integers(2, 257))
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        t = int(rng.integers(1, 4))
+        pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+        frames = pal[rng.integers(0, ncol, (t, h, w))]
+        data = encode_gif(frames if t > 1 else frames[0])
+        pim = PIL.open(_io.BytesIO(data))
+        assert (pim.n_frames if t > 1 else 1) == t
+        for k in range(t):
+            pim.seek(k)
+            np.testing.assert_array_equal(
+                np.asarray(pim.convert("RGB")), frames[k]
+            )
