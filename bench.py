@@ -176,6 +176,15 @@ def main():
     # bands by the tunnel's ±10% variance so they flag regressions, not
     # noise.  Ceiling evidence: docs/KERNEL.md §6.1.
     if jax.default_backend() != "cpu":
+        if rb > 2.0:
+            # the readback probe already flagged the tunnel unhealthy:
+            # timings are noise, so a floor miss would be a false alarm —
+            # report, don't assert
+            print(
+                "# floors NOT asserted: device unhealthy (see warning)",
+                file=sys.stderr,
+            )
+            return 0
         floors = {"vs_baseline": 0.28}
         if dt16 is not None:
             floors["bf16_vs_baseline"] = 0.55
