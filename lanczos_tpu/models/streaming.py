@@ -41,6 +41,20 @@ from lanczos_tpu.core.weights import banded_weights
 from lanczos_tpu.ops.resample_xla import apply_banded, quantize_uint8
 
 
+def _join_prefetch(pool, fut) -> None:
+    """Tear down a chunks() prefetch pool: an abandoned generator must not
+    leave get_rows running on the worker thread after control returns to
+    the caller — cancel what hasn't started, then join anything in flight.
+    The join is bounded so a get_rows stalled on a dead source (socket,
+    pipe) cannot hang generator close/GC forever."""
+    if fut is not None and not fut.cancel():
+        try:
+            fut.result(timeout=60.0)
+        except Exception:
+            pass  # surfaced to nobody — the generator is dead
+    pool.shutdown(wait=False, cancel_futures=True)
+
+
 class StreamingUpscaler:
     """Chunked 2D resample: full-width horizontal pass, row-chunked vertical.
 
@@ -365,17 +379,7 @@ class StreamingUpscaler:
                 yield y0_, np.asarray(d)[:n_]
         finally:
             if pool is not None:
-                # an abandoned generator must not leave get_rows running on
-                # the worker thread after control returns to the caller:
-                # cancel what hasn't started, then join anything in flight —
-                # bounded, so a get_rows stalled on a dead source (socket,
-                # pipe) cannot hang generator close/GC forever
-                if fut is not None and not fut.cancel():
-                    try:
-                        fut.result(timeout=60.0)
-                    except Exception:
-                        pass  # surfaced to nobody — the generator is dead
-                pool.shutdown(wait=False, cancel_futures=True)
+                _join_prefetch(pool, fut)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """Whole-frame convenience wrapper over :meth:`chunks`."""
@@ -542,10 +546,4 @@ class ShardedStreamingUpscaler(StreamingUpscaler):
                 yield from self._drain(inflight.popleft())
         finally:
             if pool is not None:
-                # bounded join, same rationale as the base class
-                if fut is not None and not fut.cancel():
-                    try:
-                        fut.result(timeout=60.0)
-                    except Exception:
-                        pass
-                pool.shutdown(wait=False, cancel_futures=True)
+                _join_prefetch(pool, fut)
