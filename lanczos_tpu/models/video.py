@@ -35,6 +35,60 @@ def _pad_to(stack: np.ndarray, b: int) -> np.ndarray:
     return stack
 
 
+def _read_ahead(gen, depth: int = 2):
+    """Iterate ``gen`` on a background thread, keeping up to ``depth``
+    items queued, so the producer's file parse/copy work hides under the
+    consumer's device time (the host-I/O analog of
+    ``StreamingUpscaler``'s threaded ``get_rows`` prefetch).  Items
+    arrive in order; producer exceptions re-raise at the consumer; an
+    abandoned consumer stops the producer at the next item and joins."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    done = object()
+    stop = threading.Event()
+    err: list = []
+
+    def run():
+        try:
+            for item in gen:
+                if stop.is_set():
+                    return
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            # the sentinel MUST arrive (a full queue would otherwise
+            # leave the consumer blocked on get); bounded retries so an
+            # abandoned consumer (stop set, queue full) still lets us exit
+            while not stop.is_set():
+                try:
+                    q.put(done, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        while t.is_alive():  # unblock a full-queue put, then join
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.05)
+
+
 def _pipelined(batches, launch, drain, depth: int) -> None:
     """Run launch() over batches keeping ``depth`` results in flight.
 
@@ -315,5 +369,7 @@ def upscale_y4m(
                         planes += (host[1][k, 0], host[1][k, 1])
                     writer.write(planes)
 
-            _pipelined(plane_batches(), launch, drain, depth)
+            # frame parse/copy on a read-ahead thread: container I/O
+            # hides under device compute (bounded queue, in order)
+            _pipelined(_read_ahead(plane_batches()), launch, drain, depth)
     return out_hdr

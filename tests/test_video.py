@@ -91,3 +91,31 @@ def test_video_frames_producer_reuses_buffer(rng):
     single = Upscaler(cfg, backend="xla")
     for k in range(6):
         np.testing.assert_array_equal(outs[k], np.asarray(single(frames[k])))
+
+
+def test_read_ahead_order_errors_and_abandon():
+    """_read_ahead: in-order delivery, producer exceptions re-raise at
+    the consumer, and an abandoned consumer joins the producer thread."""
+    import threading
+
+    from lanczos_tpu.models.video import _read_ahead
+
+    assert list(_read_ahead(iter(range(50)), depth=3)) == list(range(50))
+
+    def boom():
+        yield 1
+        raise RuntimeError("decoder died")
+
+    import pytest
+
+    out = []
+    with pytest.raises(RuntimeError, match="decoder died"):
+        for v in _read_ahead(boom()):
+            out.append(v)
+    assert out == [1]
+
+    before = threading.active_count()
+    g = _read_ahead(iter(range(10_000)), depth=2)
+    assert next(g) == 0
+    g.close()  # abandon: producer must stop and join
+    assert threading.active_count() <= before + 1
