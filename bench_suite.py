@@ -255,9 +255,11 @@ def main():
 
         virtual = jax.default_backend() == "cpu"
         model_kw = dict(halo_bytes=sh.halo_spec()["bytes"])
-        if not virtual:
-            # real chips: replace the model's assumed link bandwidth with
-            # the measured ring-ppermute number (multihost.measure_ici_bw)
+        if not virtual and R >= 2:
+            # real multi-chip ring: replace the model's assumed link
+            # bandwidth with the measured ring-ppermute number (honest
+            # queue-drained timing inside measure_ici_bw); a 1-ring is a
+            # self-copy, so the platform default stays in that case
             from lanczos_tpu.parallel.multihost import measure_ici_bw
 
             model_kw["ici_bw"] = measure_ici_bw(mesh, "rows")

@@ -323,7 +323,10 @@ def run_y4m_cert(cpu_smoke: bool, colorspace: str = "420p10") -> dict:
 
     frames = [
         (draw((h, w)),) + (
-            (draw((h // div[0], w // div[1])),) * 2 if div else ()
+            # Cb and Cr MUST be independent draws: identical planes would
+            # blind the cert to U/V swap or crosstalk bugs (r5 review)
+            (draw((h // div[0], w // div[1])),
+             draw((h // div[0], w // div[1]))) if div else ()
         )
         for _ in range(n_frames)
     ]
@@ -384,7 +387,10 @@ def main(argv=None) -> int:
     p.add_argument("--u16-seeds", type=int, default=6,
                    help="uint16 dtype-contract seeds")
     p.add_argument("--y4m", type=int, default=1, choices=[0, 1],
-                   help="run the 420p10 Y4M end-to-end certification")
+                   help="run the Y4M end-to-end certifications "
+                        "(--y4m-colorspaces)")
+    p.add_argument("--y4m-colorspaces", default="420p10,422p12,mono",
+                   help="comma list of Y4M colorspace tags to certify")
     p.add_argument("--seed0", type=int, default=0)
     p.add_argument("--cpu-smoke", action="store_true",
                    help="reduced interpret-mode sweep for off-chip testing")
@@ -422,7 +428,8 @@ def main(argv=None) -> int:
     for seed in range(args.u16_seeds):
         emit(run_seed_u16(seed, args.cpu_smoke))
     if args.y4m:
-        emit(run_y4m_cert(args.cpu_smoke))
+        for cs in args.y4m_colorspaces.split(","):
+            emit(run_y4m_cert(args.cpu_smoke, cs.strip()))
     fails = sum(0 if r["ok"] else 1 for r in rows)
     summary = {
         "summary": True,

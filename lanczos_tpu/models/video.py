@@ -370,6 +370,12 @@ def upscale_y4m(
                     writer.write(planes)
 
             # frame parse/copy on a read-ahead thread: container I/O
-            # hides under device compute (bounded queue, in order)
-            _pipelined(_read_ahead(plane_batches()), launch, drain, depth)
+            # hides under device compute (bounded queue, in order).
+            # closing() joins the producer DETERMINISTICALLY on any
+            # launch/drain exception — before the with-blocks close the
+            # reader the thread is still parsing from
+            from contextlib import closing
+
+            with closing(_read_ahead(plane_batches())) as batches:
+                _pipelined(batches, launch, drain, depth)
     return out_hdr

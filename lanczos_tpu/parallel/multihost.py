@@ -219,10 +219,19 @@ def measure_ici_bw(
     ``ici_bw`` slot (round-4 verdict weak #3: the 90 GB/s default is an
     assumption until this runs on real multi-chip hardware).
 
-    Times ``iters`` jitted ring exchanges of an ``nbytes``-per-shard
-    buffer with a warmup call; on a virtual CPU mesh the number is
-    host-memcpy noise (useful only to exercise the API — the model should
-    keep its platform default there).
+    Needs a ring of ≥ 2 devices on ``axis`` — on one device the ppermute
+    is a self-copy and the number would be HBM/dispatch noise, not ICI
+    (``ValueError``; callers keep the platform default then).  Because of
+    that guard this never runs on the tunneled 1-chip dev backend (whose
+    ``block_until_ready`` does not wait — the reason bench timings use
+    the queue-drained protocol); everywhere it CAN run — the virtual CPU
+    mesh and real pods — ``block_until_ready`` is a true barrier, so each
+    exchange is timed with a per-call barrier.  That also keeps the
+    collective queue shallow: hundreds of UNDRAINED in-process CPU
+    collectives abort inside XLA's thunk executor (measured).  The
+    median of ``iters`` barriered calls is returned; on a virtual CPU
+    mesh the number is host-memcpy noise (useful only to exercise the
+    API).
     """
     import time
 
@@ -230,6 +239,11 @@ def measure_ici_bw(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = int(mesh.shape[axis])
+    if n < 2:
+        raise ValueError(
+            f"measure_ici_bw needs >= 2 devices on axis {axis!r} (got "
+            f"{n}): a 1-ring ppermute is a self-copy, not an ICI hop"
+        )
     x = jax.device_put(
         jnp.zeros((n, nbytes), jnp.uint8), NamedSharding(mesh, P(axis))
     )
@@ -242,10 +256,11 @@ def measure_ici_bw(
             out_specs=P(axis),
         )
     )
-    jax.block_until_ready(fn(x))
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = fn(y)
-    jax.block_until_ready(y)
-    return nbytes * iters / (time.perf_counter() - t0)
+    jax.block_until_ready(fn(x))  # compile + connect
+    times = []
+    for _ in range(max(3, iters)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return nbytes / times[len(times) // 2]

@@ -379,17 +379,21 @@ def test_gif_encode_grayscale_and_errors(rng):
         encode_gif(np.zeros((4, 4, 3), np.float32))
 
 
-def test_gif_encode_lzw_table_full_reset(rng):
+def test_gif_encode_lzw_table_full_reset(rng, monkeypatch):
     """Streams long enough to fill the 4096-entry LZW table exercise the
-    encoder's CLEAR+reset path; decode must stay lossless (native and
-    pure-Python encoders byte-identical)."""
-    from lanczos_tpu.io import _native
+    encoder's CLEAR+reset path IN BOTH IMPLEMENTATIONS — the native core
+    and the pure-Python fallback must produce byte-identical streams
+    (r5 review: the native lib is always present here, so without the
+    monkeypatched leg the Python reset branch was never covered)."""
     from lanczos_tpu.io.formats import _lzw_decode, _lzw_encode
 
     for mcs, hi in ((8, 256), (2, 4)):
         idx = rng.integers(0, hi, 300_000, dtype=np.uint8)
         enc = _lzw_encode(idx, mcs)
         np.testing.assert_array_equal(_lzw_decode(enc, mcs, idx.size), idx)
+        with monkeypatch.context() as m:
+            m.setattr("lanczos_tpu.io._native.native_lib", lambda: None)
+            assert _lzw_encode(idx, mcs) == enc  # pure-Python leg
     # degenerate streams: constant, alternating, single pixel, empty
     from lanczos_tpu.io.formats import encode_gif, decode_gif
 

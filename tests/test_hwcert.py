@@ -83,8 +83,9 @@ def test_hwcert_extended_classes(capsys):
     assert summary["failed"] == 0
     assert summary["aniso"] == 2
     assert summary["uint16"] == 2
-    assert summary["y4m"] == 1
+    assert summary["y4m"] == 3  # the full colorspace x depth matrix
     kinds = {r.get("kind") for r in lines[:-1]}
-    assert kinds == {"aniso", "uint16", "y4m_420p10"}
+    assert kinds == {"aniso", "uint16", "y4m_420p10", "y4m_422p12",
+                     "y4m_mono"}
     y4m_row = next(r for r in lines[:-1] if r.get("kind") == "y4m_420p10")
     assert y4m_row["sha256_16"]  # artifact trail of the output bytes
